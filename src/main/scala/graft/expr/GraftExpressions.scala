@@ -1,0 +1,263 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot parse path. All of them codegen to
+  * a single static call into [[Kernels]], keeping the whole-stage-codegen
+  * span intact (no Scala-UDF boxing, no serialization of closures).
+  */
+object GraftExpressions {
+
+  val rawLineSchema: StructType = StructType(
+    Seq(
+      StructField("status", ByteType, nullable = false),
+      StructField("date", StringType),
+      StructField("kind", ByteType, nullable = true),
+      StructField("subject", StringType),
+      StructField("event_type", StringType),
+      StructField("params", StringType)
+    )
+  )
+
+  // ---- expression classes ------------------------------------------------
+
+  abstract class UnaryKernel extends UnaryExpression with Serializable {
+    /** Java expression producing the (possibly boxed) kernel result. */
+    protected def kernelCall(c: String): String
+    protected def boxedJavaType: String
+    protected def unbox(tmp: String): String
+
+    override def nullable: Boolean = true
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => {
+          val tmp = ctx.freshName("kout")
+          s"""
+           |$boxedJavaType $tmp = ${kernelCall(c)};
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = ${unbox(tmp)}; }
+           """.stripMargin
+        }
+      )
+  }
+
+  case class TokensToString(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.tokensToString(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.tokensToString($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class StringToTokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.stringToTokens(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.stringToTokens($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class ParseRawLine(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = rawLineSchema
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.parseRawLine(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.parseRawLine($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class ParamsMap(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
+    override def nullable: Boolean = left.nullable || right.nullable
+    override protected def nullSafeEval(ty: Any, params: Any): Any =
+      Kernels.paramsMap(
+        ty.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        params.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      )
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.expr.Kernels.paramsMap($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  /** parse_int_overflow with clamp max; null on malformed. */
+  case class ClampInt(child: Expression, min: Long, max: Long) extends UnaryKernel {
+    override def dataType: DataType = LongType
+    override protected def kernelCall(c: String): String =
+      s"graft.expr.Kernels.clampIntBoxed($c, ${min}L, ${max}L)"
+    override protected def boxedJavaType: String = "java.lang.Long"
+    override protected def unbox(tmp: String): String = s"$tmp.longValue()"
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.clampIntBoxed(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], min, max)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class ParseF32(child: Expression) extends UnaryKernel {
+    override def dataType: DataType = FloatType
+    override protected def kernelCall(c: String): String = s"graft.expr.Kernels.parseF32Boxed($c)"
+    override protected def boxedJavaType: String = "java.lang.Float"
+    override protected def unbox(tmp: String): String = s"$tmp.floatValue()"
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.parseF32Boxed(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class ParsePosition(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.parsePosition(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => {
+          val tmp = ctx.freshName("kout")
+          s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $tmp = graft.expr.Kernels.parsePosition($c);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+           """.stripMargin
+        }
+      )
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class ClassNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.classNormalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.classNormalize($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Packed SubjectId for the envelope subject: kind(tinyint), subject. */
+  case class SubjectIdExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable
+    override def eval(input: InternalRow): Any = {
+      val k = left.eval(input)
+      if (k == null) return null
+      val s = right.eval(input)
+      Kernels.subjectId(
+        k.asInstanceOf[Byte],
+        s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      )
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val le = left.genCode(ctx)
+      val re = right.genCode(ctx)
+      val code = code"""
+        ${le.code}
+        ${re.code}
+        boolean ${ev.isNull} = ${le.isNull};
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expr.Kernels.subjectId(${le.value},
+            ${re.isNull} ? null : ${re.value});
+        }
+      """
+      ev.copy(code = code)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
+  case class AgainstSubjectId(child: Expression) extends UnaryKernel {
+    override def dataType: DataType = LongType
+    override protected def kernelCall(c: String): String =
+      s"graft.expr.Kernels.againstSubjectId($c)"
+    override protected def boxedJavaType: String = "java.lang.Long"
+    override protected def unbox(tmp: String): String = s"$tmp.longValue()"
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.againstSubjectId(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class PlayerSubjectIdExpr(child: Expression) extends UnaryKernel {
+    override def dataType: DataType = LongType
+    override protected def kernelCall(c: String): String =
+      s"graft.expr.Kernels.playerSubjectId($c)"
+    override protected def boxedJavaType: String = "java.lang.Long"
+    override protected def unbox(tmp: String): String = s"$tmp.longValue()"
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.playerSubjectId(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class SplitPlayerSubjectExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(
+      Seq(
+        StructField("name", StringType),
+        StructField("user_id", StringType),
+        StructField("steam", StringType),
+        StructField("team", StringType)
+      )
+    )
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.splitPlayerSubject(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => {
+          val tmp = ctx.freshName("kout")
+          s"""
+           |InternalRow $tmp = graft.expr.Kernels.splitPlayerSubject($c);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+           """.stripMargin
+        }
+      )
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class SteamTextAccount(child: Expression) extends UnaryKernel {
+    override def dataType: DataType = LongType
+    override protected def kernelCall(c: String): String =
+      s"graft.expr.Kernels.steamTextAccount($c)"
+    override protected def boxedJavaType: String = "java.lang.Long"
+    override protected def unbox(tmp: String): String = s"$tmp.longValue()"
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.steamTextAccount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  // ---- Column API --------------------------------------------------------
+
+  private def col(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
+  private def ex(c: Column): Expression = org.apache.spark.sql.GraftBridge.expression(c)
+
+  def tokens_to_string(c: Column): Column = col(TokensToString(ex(c)))
+  def string_to_tokens(c: Column): Column = col(StringToTokens(ex(c)))
+  def parse_raw_line(c: Column): Column = col(ParseRawLine(ex(c)))
+  def params_map(ty: Column, params: Column): Column = col(ParamsMap(ex(ty), ex(params)))
+  def clamp_u8(c: Column): Column = col(ClampInt(ex(c), 0L, 255L))
+  def clamp_u16(c: Column): Column = col(ClampInt(ex(c), 0L, 65535L))
+  def clamp_u32(c: Column): Column = col(ClampInt(ex(c), 0L, 4294967295L))
+  def clamp_i32(c: Column): Column =
+    col(ClampInt(ex(c), Int.MinValue.toLong, Int.MaxValue.toLong))
+  def clamp_i64(c: Column): Column = col(ClampInt(ex(c), Long.MinValue, Long.MaxValue))
+  def parse_f32(c: Column): Column = col(ParseF32(ex(c)))
+  def parse_position(c: Column): Column = col(ParsePosition(ex(c)))
+  def class_normalize(c: Column): Column = col(ClassNormalize(ex(c)))
+  def subject_id(kind: Column, subject: Column): Column = col(SubjectIdExpr(ex(kind), ex(subject)))
+  def against_subject_id(c: Column): Column = col(AgainstSubjectId(ex(c)))
+  def player_subject_id(c: Column): Column = col(PlayerSubjectIdExpr(ex(c)))
+  def split_player_subject(c: Column): Column = col(SplitPlayerSubjectExpr(ex(c)))
+  def steam_text_account(c: Column): Column = col(SteamTextAccount(ex(c)))
+}

@@ -1,0 +1,136 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from both the interpreted (`eval`) and generated
+  * (`doGenCode`) paths of the expressions in [[GraftExpressions]]. They take
+  * and return Spark internal types so generated Java can call them directly
+  * via the static forwarders Scala emits for top-level objects.
+  */
+object Kernels {
+
+  // ---- token codec -------------------------------------------------------
+
+  /** tokens(array<int32> of Unicode codepoints) -> string (deterministic,
+    * invertible; the engine's payload decode -- SURVEY.md §1.4). */
+  def tokensToString(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val cps = arr.toIntArray()
+    UTF8String.fromString(new String(cps, 0, n))
+  }
+
+  def stringToTokens(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(cps)
+  }
+
+  // ---- envelope ----------------------------------------------------------
+
+  /** struct(status tinyint, date string, kind tinyint, subject string,
+    * event_type string, params string) */
+  def parseRawLine(line: UTF8String): InternalRow = {
+    val r = LineParser.parse(line.toString)
+    val out = new GenericInternalRow(6)
+    out.update(0, r.status)
+    if (r.status == LineParser.OK) {
+      out.update(1, UTF8String.fromString(r.date))
+      out.update(2, r.kind)
+      out.update(3, if (r.subject == null) null else UTF8String.fromString(r.subject))
+      out.update(4, UTF8String.fromString(r.eventType))
+      out.update(5, UTF8String.fromString(r.params))
+    } else {
+      out.update(4, UTF8String.fromString("invalid"))
+    }
+    out
+  }
+
+  /** Typed param extraction -> map<string,string>; parse errors surface as a
+    * `__error -> "1"` entry. Duplicate keys keep the LAST occurrence
+    * (mirrors the reference's sequential field assignment). */
+  def paramsMap(eventType: UTF8String, params: UTF8String): MapData = {
+    val p = LineParser.paramsFor(eventType.toString, params.toString)
+    var n = p.keys.length
+    // dedupe last-wins (rare): scan for duplicates
+    val keys = new java.util.LinkedHashMap[String, String](n * 2)
+    var i = 0
+    while (i < n) { keys.put(p.keys(i), p.values(i)); i += 1 }
+    if (p.error) keys.put("__error", "1")
+    n = keys.size()
+    val ks = new Array[Any](n)
+    val vs = new Array[Any](n)
+    val it = keys.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      ks(i) = UTF8String.fromString(e.getKey)
+      vs(i) = UTF8String.fromString(e.getValue)
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+  }
+
+  // ---- scalar field parsers (boxed-nullable for codegen) -----------------
+
+  def clampIntBoxed(v: UTF8String, min: Long, max: Long): java.lang.Long =
+    if (v == null) null else LineParser.clampParseSigned(v.toString, min, max)
+
+  def parseF32Boxed(v: UTF8String): java.lang.Float =
+    if (v == null) null else LineParser.parseF32(v.toString)
+
+  /** `"x y z"` -> array<int>(3) with i32 clamp semantics; null on malformed. */
+  def parsePosition(v: UTF8String): ArrayData = {
+    if (v == null) return null
+    val s = v.toString
+    val a = s.indexOf(' ')
+    if (a < 0) return null
+    val b = s.indexOf(' ', a + 1)
+    if (b < 0) return null
+    val x = LineParser.clampParseSigned(s.substring(0, a), Int.MinValue, Int.MaxValue)
+    val y = LineParser.clampParseSigned(s.substring(a + 1, b), Int.MinValue, Int.MaxValue)
+    val z = LineParser.clampParseSigned(s.substring(b + 1), Int.MinValue, Int.MaxValue)
+    if (x == null || y == null || z == null) return null
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array[Int](x.intValue(), y.intValue(), z.intValue()))
+  }
+
+  def classNormalize(v: UTF8String): UTF8String =
+    if (v == null) null else UTF8String.fromString(LineParser.classNormalize(v.toString))
+
+  // ---- subject ids -------------------------------------------------------
+
+  def subjectId(kind: Byte, subject: UTF8String): Long =
+    Steam.subjectId(kind, if (subject == null) null else subject.toString)
+
+  def againstSubjectId(raw: UTF8String): java.lang.Long =
+    if (raw == null) null else java.lang.Long.valueOf(Steam.againstSubjectId(raw.toString))
+
+  def playerSubjectId(raw: UTF8String): java.lang.Long =
+    if (raw == null) null else java.lang.Long.valueOf(Steam.playerSubjectId(raw.toString))
+
+  /** struct(name string, user_id string, steam string, team string); null on
+    * malformed split. */
+  def splitPlayerSubject(raw: UTF8String): InternalRow = {
+    if (raw == null) return null
+    val parts = Steam.splitPlayerSubject(raw.toString)
+    if (parts == null) return null
+    val out = new GenericInternalRow(4)
+    var i = 0
+    while (i < 4) { out.update(i, UTF8String.fromString(parts(i))); i += 1 }
+    out
+  }
+
+  /** from_steam3 orElse from_steam2 -> account id, null if neither parses
+    * (SubjectData path, common.rs:315-316). */
+  def steamTextAccount(raw: UTF8String): java.lang.Long = {
+    if (raw == null) return null
+    val s = raw.toString
+    val a3 = Steam.steam3Account(s)
+    if (a3 >= 0) return java.lang.Long.valueOf(a3)
+    val a2 = Steam.steam2Account(s)
+    if (a2 >= 0) java.lang.Long.valueOf(a2) else null
+  }
+}
