@@ -1,0 +1,548 @@
+package graft.pipeline
+
+import graft.expr.GraftExpressions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The parse -> enrich -> route -> aggregate pipeline over the tokenized
+  * sequence table `(doc_id, line_no, source, tokens, n_tok)`.
+  *
+  * Spark-first design (SURVEY.md §3.1): every stage is a declarative
+  * DataFrame transform built from native expressions, so Catalyst keeps
+  * column pruning / filter pushdown, and all heavy operators are windows,
+  * hash aggregates and co-partitioned joins keyed by `(doc_id, subject)` --
+  * no cross-document shuffle anywhere except the final sink.
+  *
+  * Quirk fidelity notes are in SURVEY.md §7 risk 3 and graft.expr.LineParser.
+  */
+object TfPipeline {
+
+  /** Event types handled by the default LogHandler composition
+    * (lib.rs:127-132; masks cited in ReferenceSim). */
+  val HandledTypes: Seq[String] = Seq(
+    "say", "say_team", "healed",
+    "charge_deployed", "charge_ended", "charge_ready", "advantage_lost",
+    "medic_death", "first_heal",
+    "kill", "kill_assist", "damage", "spawned", "role_change", "round_win",
+    "round_start"
+  )
+
+  val MedicTypes: Seq[String] = Seq(
+    "charge_deployed", "charge_ended", "charge_ready", "advantage_lost",
+    "medic_death", "first_heal"
+  )
+
+  val ClassNames: Seq[String] = Seq(
+    "scout", "soldier", "pyro", "demoman", "heavyweapons", "engineer",
+    "medic", "sniper", "spy", "unknown"
+  )
+
+  private val wDoc = Window.partitionBy("doc_id").orderBy("line_no")
+
+  /** IEEE f32 division (NaN/Inf on zero divisor), ANSI-mode safe. The
+    * reference's averages divide by possibly-zero f32 counts. */
+  private def f32div(n: Column, d: Column): Column = {
+    val nf = n.cast("float")
+    val df = d.cast("float")
+    when(df === 0f, when(nf === 0f, lit(Float.NaN)).otherwise(lit(Float.PositiveInfinity)))
+      .otherwise(nf / df) // Spark division promotes to double...
+      .cast("float") // ...so narrow back to the reference's f32
+  }
+
+  // -------------------------------------------------------------------------
+  // Stage 1+2: decode + envelope
+  // -------------------------------------------------------------------------
+
+  /** tokens -> line -> envelope struct, flattened. Keeps `tokens` for the
+    * routed-row token-array-equality invariant. */
+  def envelope(input: DataFrame): DataFrame = {
+    input
+      .withColumn("line", tokens_to_string(col("tokens")))
+      .withColumn("r", parse_raw_line(col("line")))
+      .select(
+        col("doc_id"),
+        col("line_no"),
+        col("source"),
+        col("tokens"),
+        col("r.status").as("status"),
+        col("r.date").as("date"),
+        col("r.kind").as("kind"),
+        col("r.subject").as("subject"),
+        col("r.event_type").as("event_type"),
+        col("r.params").as("params")
+      )
+      .withColumn(
+        "ts",
+        unix_timestamp(to_timestamp(col("date"), "MM/dd/yyyy - HH:mm:ss"))
+      )
+  }
+
+  /** Per-type field-error predicate replicating the reference's `?`
+    * propagation for present-but-malformed optional fields. */
+  private def typedErr(ty: Column, pm: Column, params: Column): Column = {
+    def bad(key: String, parse: Column => Column): Column = {
+      val v = element_at(pm, key)
+      v.isNotNull && parse(v).isNull
+    }
+    val badU32 = (k: String) => bad(k, clamp_u32)
+    val badI64 = (k: String) => bad(k, clamp_i64)
+    val badF32 = (k: String) => bad(k, parse_f32)
+    val badPos = (k: String) => bad(k, parse_position)
+    element_at(pm, "__error").isNotNull ||
+    (ty === "healed" && badU32("healing")) ||
+    (ty === "damage" && (badI64("damage") || badI64("realdamage"))) ||
+    ((ty === "kill" || ty === "kill_assist") &&
+      (badPos("attacker_position") || badPos("victim_position"))) ||
+    (ty === "charge_ended" && badF32("duration")) ||
+    ((ty === "advantage_lost" || ty === "first_heal") && badF32("time")) ||
+    (ty === "medic_death" && badU32("ubercharge"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Stage 3: classification + routing
+  // -------------------------------------------------------------------------
+
+  /** Adds `pm` (typed params map), `typed_err`, `drop` and `hard_error`
+    * columns implementing the truncated-line recovery (lib.rs:68-99):
+    *  (a) error + params embed a same-date `L MM/DD/YYYY` -> silently dropped;
+    *  (b) otherwise the NEXT physical line is consumed and both are dropped
+    *      when its timestamp jumps >60s; anything else is a hard error.
+    * Limitation (documented): runs of >=2 adjacent erroring lines resolve
+    * sequentially in the reference (the consumed line's own error is never
+    * evaluated); this window formulation evaluates one step of lookbehind,
+    * which is exact for all non-adjacent error patterns.
+    */
+  def classified(env: DataFrame): DataFrame = {
+    val handled = col("status") === 0 && col("event_type").isInCollection(HandledTypes)
+    val withPm = env
+      .withColumn("handled", handled)
+      .withColumn(
+        "pm",
+        when(handled, params_map(col("event_type"), col("params")))
+      )
+      .withColumn(
+        "typed_err",
+        when(handled, typedErr(col("event_type"), col("pm"), col("params")))
+          .otherwise(lit(false))
+      )
+    val rescueA =
+      col("typed_err") && col("params").contains(concat(lit("L "), substring(col("date"), 1, 10)))
+    val nextTs = lead(col("ts"), 1).over(wDoc)
+    val nextStatus = lead(col("status"), 1).over(wDoc)
+    val consumesNext = col("typed_err") && !col("rescue_a") && col("has_next")
+    withPm
+      .withColumn("rescue_a", rescueA)
+      .withColumn("has_next", lead(lit(1), 1).over(wDoc).isNotNull)
+      .withColumn("next_ts", nextTs)
+      .withColumn("next_status", nextStatus)
+      .withColumn("consumes_next", consumesNext)
+      .withColumn(
+        "hard_error",
+        (col("status") === 2) || // envelope Malformed
+        (consumesNext && !(col("next_status") === 0 && col("next_ts") - col("ts") > 60))
+      )
+      .withColumn(
+        "drop",
+        col("typed_err") || coalesce(lag(col("consumes_next"), 1).over(wDoc), lit(false))
+      )
+      .drop("rescue_a", "has_next", "next_ts", "next_status")
+  }
+
+  /** Surviving handled rows with event time: the aggregate layer's input.
+    * `time` = u32 seconds since the first surviving handled line per doc
+    * (module/mod.rs:37-44). */
+  def routed(env: DataFrame): DataFrame = {
+    val cls = classified(env)
+    cls
+      .filter(col("handled") && !col("drop") && !col("hard_error"))
+      .withColumn("sid", subject_id(col("kind"), col("subject")))
+      .withColumn("start_ts", first(col("ts")).over(wDoc))
+      .withColumn("time", pmod(col("ts") - col("start_ts"), lit(4294967296L)))
+      .drop("handled", "typed_err", "drop", "hard_error", "consumes_next", "status")
+  }
+
+  /** All valid-envelope rows (any event type) with sid -- the full routing
+    * frame for fan-out sinks; unknown/invalid stay as dead-letter partitions. */
+  def routable(env: DataFrame): DataFrame = {
+    val cls = classified(env)
+    cls
+      .withColumn(
+        "route",
+        when(col("hard_error"), lit("__error"))
+          .when(col("status") =!= 0, lit("__skip"))
+          .when(col("drop"), lit("__dropped"))
+          .otherwise(col("event_type"))
+      )
+      .select("doc_id", "line_no", "source", "tokens", "date", "kind", "subject",
+        "event_type", "params", "route")
+  }
+
+  // -------------------------------------------------------------------------
+  // Stage 4: enrichment (subject dimension, J1)
+  // -------------------------------------------------------------------------
+
+  /** First-seen-wins subject dimension per (doc, sid): data kind
+    * (1 player / 2 bot / 3 malformed / packed kind otherwise), display name
+    * and text-parsed steam64 (SubjectData semantics, common.rs:308-342). */
+  def subjectDim(routedDf: DataFrame): DataFrame = {
+    val sp = split_player_subject(col("first_subject"))
+    val acct = steam_text_account(sp.getField("steam"))
+    val uidOk = sp.getField("user_id").rlike("^[0-9]{1,18}$") &&
+      sp.getField("user_id").cast("long") <= 65535L
+    routedDf
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(
+        min_by(col("subject"), col("line_no")).as("first_subject"),
+        min(col("line_no")).as("first_line")
+      )
+      .withColumn("kind", shiftrightunsigned(col("sid"), 32).cast("int"))
+      .withColumn(
+        "data_kind",
+        when(
+          col("kind") === 1,
+          when(sp.isNull, 3)
+            .when(!uidOk, 3)
+            .when(acct.isNull, 2)
+            .otherwise(1)
+        ).otherwise(col("kind"))
+      )
+      .withColumn(
+        "name",
+        when(col("kind") === 1 && col("data_kind").isin(1, 2), sp.getField("name"))
+          .otherwise(col("first_subject"))
+      )
+      .withColumn(
+        "steam64_text",
+        when(col("kind") === 1 && col("data_kind") === 1, acct + lit(graft.expr.Steam.STEAM64_BASE))
+      )
+      .select("doc_id", "sid", "data_kind", "name", "steam64_text", "first_line")
+  }
+
+  // -------------------------------------------------------------------------
+  // Stage 5: module aggregations
+  // -------------------------------------------------------------------------
+
+  /** Chat (A6 + J2): ordered player messages with first-seen identity. */
+  def chatMessages(routedDf: DataFrame, dim: DataFrame): DataFrame = {
+    val says = routedDf
+      .filter(col("event_type").isin("say", "say_team"))
+      .filter(shiftrightunsigned(col("sid"), 32) === 1) // SubjectId::Player only
+      .select(
+        col("doc_id"),
+        col("sid"),
+        col("line_no"),
+        col("time"),
+        element_at(col("pm"), "_text").as("message"),
+        when(col("event_type") === "say", "All").otherwise("Team").as("chat_type")
+      )
+    says
+      .join(dim.filter(col("data_kind") === 1), Seq("doc_id", "sid"))
+      .select(
+        col("doc_id"),
+        col("line_no"),
+        struct(
+          col("time"),
+          col("name"),
+          col("steam64_text").as("steam_id"),
+          col("message"),
+          col("chat_type")
+        ).as("msg")
+      )
+  }
+
+  /** Heal spread (A5): per (healer, target) healing sums, u32 wrapping. */
+  def healSpread(routedDf: DataFrame): DataFrame = {
+    routedDf
+      .filter(col("event_type") === "healed")
+      .withColumn("target_sid", against_subject_id(element_at(col("pm"), "against")))
+      .filter(shiftrightunsigned(col("target_sid"), 32) === 1)
+      .withColumn("amount", coalesce(clamp_u32(element_at(col("pm"), "healing")), lit(0L)))
+      .groupBy(col("doc_id"), col("sid"), (col("target_sid").bitwiseAND(lit(0xffffffffL))).as("target_account"))
+      .agg(pmod(sum(col("amount")), lit(4294967296L)).as("healing"))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(
+        map_from_entries(
+          sort_array(collect_list(struct(col("target_account"), col("healing"))))
+        ).as("heals_by_account")
+      )
+  }
+
+  /** Medic stats (A7-A10): windowed state machines per (doc, medic). */
+  def medicStats(routedDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id", "sid").orderBy("line_no")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val ty = col("event_type")
+    val frame = routedDf
+      .filter(ty.isInCollection(MedicTypes))
+      .withColumn("f_time", coalesce(parse_f32(element_at(col("pm"), "time")), lit(0f)))
+      .withColumn("duration", coalesce(parse_f32(element_at(col("pm"), "duration")), lit(0f)))
+      .withColumn("charge", coalesce(clamp_u32(element_at(col("pm"), "ubercharge")), lit(0L)))
+      // last FirstHeal before this row (value + line), last ChargeReady line,
+      // last ChargeEnded time: the sequential state, as ordered windows
+      .withColumn("fh_time", last(when(ty === "first_heal", col("time")), ignoreNulls = true).over(wPrev))
+      .withColumn("fh_line", last(when(ty === "first_heal", col("line_no")), ignoreNulls = true).over(wPrev))
+      .withColumn("cr_line", last(when(ty === "charge_ready", col("line_no")), ignoreNulls = true).over(wPrev))
+      .withColumn("uber_end", coalesce(last(when(ty === "charge_ended", col("time")), ignoreNulls = true).over(wPrev), lit(0L)))
+      .withColumn(
+        "build_consume",
+        ty === "charge_ready" && col("fh_line").isNotNull && col("fh_time") > 0 &&
+          (col("cr_line").isNull || col("fh_line") > col("cr_line"))
+      )
+      .withColumn("build_time", greatest(col("time") - col("fh_time"), lit(0L)))
+
+    frame
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(
+        count(when(ty === "advantage_lost", 1)).as("advantages_lost"),
+        greatest(coalesce(max(when(ty === "advantage_lost", col("f_time"))), lit(0f)), lit(0f))
+          .as("biggest_advantage_lost"), // only updated when time > current (starts 0)
+        count(when(ty === "medic_death" && col("charge") >= 95 && col("charge") < 100, 1)).as("near_full_charge_death"),
+        count(when(ty === "medic_death" && greatest(col("time") - col("uber_end"), lit(0L)) <= 10, 1)).as("deaths_after_uber"),
+        sum(when(ty === "first_heal", col("f_time")).otherwise(lit(0f))).as("total_time_before_healing"),
+        count(when(ty === "first_heal", 1)).as("start_healing_count"),
+        sum(when(col("build_consume"), col("build_time")).otherwise(lit(0L))).as("total_time_to_build"),
+        count(when(col("build_consume"), 1)).as("uber_build_count"),
+        sum(when(ty === "charge_ended", col("duration")).otherwise(lit(0f))).as("total_uber_length"),
+        count(when(ty === "charge_deployed", 1)).as("charge_count"),
+        count(when(ty === "medic_death" && col("charge") >= 100, 1)).as("drops")
+      )
+      .withColumn(
+        "medic",
+        when(
+          col("start_healing_count") > 0,
+          struct(
+            col("advantages_lost"),
+            col("biggest_advantage_lost"),
+            col("near_full_charge_death"),
+            col("deaths_after_uber"),
+            f32div(col("total_time_before_healing"), col("start_healing_count")).as("avg_time_before_healing"),
+            f32div(col("total_time_to_build"), col("uber_build_count")).as("avg_time_to_build"),
+            f32div(lit(0f), col("charge_count")).as("avg_time_to_use"), // never accrued (reference quirk)
+            f32div(col("total_uber_length"), col("charge_count")).as("avg_uber_length"),
+            col("charge_count"),
+            col("drops")
+          )
+        ).otherwise(
+          struct(
+            lit(0L).as("advantages_lost"),
+            lit(0f).as("biggest_advantage_lost"),
+            lit(0L).as("near_full_charge_death"),
+            lit(0L).as("deaths_after_uber"),
+            lit(0f).as("avg_time_before_healing"),
+            lit(0f).as("avg_time_to_build"),
+            lit(0f).as("avg_time_to_use"),
+            lit(0f).as("avg_uber_length"),
+            lit(0L).as("charge_count"),
+            lit(0L).as("drops")
+          )
+        )
+      )
+      .select("doc_id", "sid", "medic")
+  }
+
+  /** Class stats (A1-A4 + J3 as-of class lookup + A13 round gate). */
+  def classStats(routedDf: DataFrame): DataFrame = {
+    val ty = col("event_type")
+    val base = routedDf
+      .filter(
+        ty.isin("kill", "kill_assist", "damage", "spawned", "role_change", "round_start", "round_win")
+      )
+      .withColumn(
+        "active",
+        coalesce(
+          last(
+            when(ty === "round_start", lit(true)).when(ty === "round_win", lit(false)),
+            ignoreNulls = true
+          ).over(wDoc),
+          lit(false)
+        )
+      )
+
+    // ---- state rows: class changes + (active) kill-target entry creation
+    val classKey = when(ty === "spawned", element_at(col("pm"), "as"))
+      .otherwise(element_at(col("pm"), "to"))
+    val spawnState = base
+      .filter(ty.isin("spawned", "role_change") && classKey.isNotNull)
+      .select(
+        col("doc_id"),
+        col("sid").as("key"),
+        col("line_no"),
+        class_normalize(classKey).as("cls"),
+        lit(1).as("is_state"),
+        lit(null.asInstanceOf[String]).as("role"),
+        lit(null.asInstanceOf[Long]).as("other"),
+        lit(null.asInstanceOf[Long]).as("dmg")
+      )
+
+    val killTargetSid =
+      when(element_at(col("pm"), "_target_kind") === "player", player_subject_id(element_at(col("pm"), "_target")))
+        .when(element_at(col("pm"), "_target_kind") === "console", lit(graft.expr.Steam.K_CONSOLE << 32))
+        .when(element_at(col("pm"), "_target_kind") === "team", lit((graft.expr.Steam.K_TEAM << 32) | 2L))
+        .otherwise(lit(graft.expr.Steam.K_SYSTEM << 32))
+
+    val kills = base.filter(ty === "kill" && col("active")).withColumn("tsid", killTargetSid)
+
+    val killState = kills.select(
+      col("doc_id"),
+      col("tsid").as("key"),
+      col("line_no"),
+      lit(null.asInstanceOf[String]).as("cls"),
+      lit(1).as("is_state"),
+      lit(null.asInstanceOf[String]).as("role"),
+      lit(null.asInstanceOf[Long]).as("other"),
+      lit(null.asInstanceOf[Long]).as("dmg")
+    )
+
+    // ---- consumer rows
+    def consumer(df: DataFrame, key: Column, role: String, other: Column, dmg: Column) =
+      df.select(
+        col("doc_id"),
+        key.as("key"),
+        col("line_no"),
+        lit(null.asInstanceOf[String]).as("cls"),
+        lit(0).as("is_state"),
+        lit(role).as("role"),
+        other.as("other"),
+        dmg.as("dmg")
+      )
+
+    val killTargetC = consumer(kills, col("tsid"), "kt", col("sid"), lit(null.asInstanceOf[Long]))
+    val killAttackerC = consumer(kills, col("sid"), "ka", col("tsid"), lit(null.asInstanceOf[Long]))
+    val assistC = consumer(
+      base.filter(ty === "kill_assist" && col("active")),
+      against_subject_id(element_at(col("pm"), "_target")),
+      "at",
+      col("sid"),
+      lit(null.asInstanceOf[Long])
+    )
+    val dmgVal = clamp_i64(element_at(col("pm"), "damage"))
+    // a missing `against` defaults the target to System("unknown") in the
+    // reference (player.rs:19-21 default attr); its class resolves only if a
+    // kill ever created a System entry
+    val damageTarget = coalesce(
+      against_subject_id(element_at(col("pm"), "against")),
+      lit(graft.expr.Steam.K_SYSTEM << 32)
+    )
+    val damageC = consumer(
+      base
+        .filter(ty === "damage" && col("active"))
+        .withColumn("dv", dmgVal)
+        .filter(col("dv") > 0 && col("dv") < 1500),
+      damageTarget,
+      "dt",
+      col("sid"),
+      col("dv")
+    )
+
+    val union = spawnState
+      .unionByName(killState)
+      .unionByName(killTargetC)
+      .unionByName(killAttackerC)
+      .unionByName(assistC)
+      .unionByName(damageC)
+
+    // ---- as-of lookups per (doc, key): state rows sort before consumers at
+    // equal line_no (the kill's own target-entry insert precedes its class
+    // read in the reference)
+    val wKey = Window
+      .partitionBy("doc_id", "key")
+      .orderBy(col("line_no"), col("is_state").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val looked = union
+      .withColumn("last_cls", last(col("cls"), ignoreNulls = true).over(wKey))
+      .withColumn("entry_before", count(when(col("is_state") === 1, 1)).over(wKey) > 0)
+      .filter(col("is_state") === 0)
+      .withColumn("cls_eff", coalesce(col("last_cls"), lit("unknown")))
+
+    // deaths require the ATTACKER to have an entry; its class may still be
+    // unknown (entry created as a kill target) -- classstats.rs:81-86
+    val cells = ClassNames.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        least(sum(when(col("role") === "kt" && col("cls_eff") === c, 1L).otherwise(0L)), lit(65535L)).as(s"k_$i"),
+        least(sum(when(col("role") === "ka" && col("entry_before") && col("cls_eff") === c, 1L).otherwise(0L)), lit(65535L)).as(s"d_$i"),
+        least(sum(when(col("role") === "at" && col("entry_before") && col("cls_eff") === c, 1L).otherwise(0L)), lit(65535L)).as(s"a_$i"),
+        least(sum(when(col("role") === "dt" && col("entry_before") && col("cls_eff") === c, col("dmg")).otherwise(0L)), lit(65535L)).as(s"g_$i")
+      )
+    }
+
+    looked
+      .groupBy(col("doc_id"), col("other").as("sid"))
+      .agg(cells.head, cells.tail: _*)
+      .select(
+        col("doc_id"),
+        col("sid"),
+        array((0 until 10).map(i => col(s"k_$i")): _*).as("kills"),
+        array((0 until 10).map(i => col(s"d_$i")): _*).as("deaths"),
+        array((0 until 10).map(i => col(s"a_$i")): _*).as("assists"),
+        array((0 until 10).map(i => col(s"g_$i")): _*).as("damage")
+      )
+  }
+
+  // -------------------------------------------------------------------------
+  // Stage 6: output assembly (J5)
+  // -------------------------------------------------------------------------
+
+  private def zeroArr = array((0 until 10).map(_ => lit(0L)): _*)
+  private def medicDefault = struct(
+    lit(0L).as("advantages_lost"),
+    lit(0f).as("biggest_advantage_lost"),
+    lit(0L).as("near_full_charge_death"),
+    lit(0L).as("deaths_after_uber"),
+    lit(0f).as("avg_time_before_healing"),
+    lit(0f).as("avg_time_to_build"),
+    lit(0f).as("avg_time_to_use"),
+    lit(0f).as("avg_uber_length"),
+    lit(0L).as("charge_count"),
+    lit(0L).as("drops")
+  )
+
+  /** Per-player assembled output for every interned PLAYER subject, ordered
+    * by (doc_id, steam64). */
+  def perPlayer(routedDf: DataFrame, dim: DataFrame): DataFrame = {
+    val players = dim
+      .filter(shiftrightunsigned(col("sid"), 32) === 1) // SubjectId::steam_id() is Some
+      .withColumn("account", col("sid").bitwiseAND(lit(0xffffffffL)))
+      .withColumn("steam3", concat(lit("[U:1:"), col("account"), lit("]")))
+      .withColumn("steam64", col("account") + lit(graft.expr.Steam.STEAM64_BASE))
+
+    val cs = classStats(routedDf)
+    val hs = healSpread(routedDf)
+    val ms = medicStats(routedDf)
+
+    players
+      .join(cs, Seq("doc_id", "sid"), "left")
+      .join(hs, Seq("doc_id", "sid"), "left")
+      .join(ms, Seq("doc_id", "sid"), "left")
+      .select(
+        col("doc_id"),
+        col("steam3"),
+        col("steam64"),
+        col("name"),
+        coalesce(col("kills"), zeroArr).as("kills"),
+        coalesce(col("deaths"), zeroArr).as("deaths"),
+        coalesce(col("assists"), zeroArr).as("assists"),
+        coalesce(col("damage"), zeroArr).as("damage"),
+        transform_keys(
+          coalesce(
+            col("heals_by_account"),
+            map_from_entries(array().cast("array<struct<target_account:long,healing:long>>"))
+          ),
+          (k, _) => concat(lit("[U:1:"), k, lit("]"))
+        ).as("heals"),
+        coalesce(col("medic"), medicDefault).as("medic")
+      )
+      .orderBy("doc_id", "steam64")
+  }
+
+  /** Global chat output: one row per doc with the ordered message array. */
+  def chat(routedDf: DataFrame, dim: DataFrame): DataFrame =
+    chatMessages(routedDf, dim)
+      .groupBy("doc_id")
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("line_no"), col("msg")))),
+          e => e.getField("msg")
+        ).as("chat")
+      )
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.loggen.LogGen
+import graft.pipeline.TfPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden end-to-end: the distributed pipeline must reproduce the sequential
+  * reference simulator (ReferenceSim) on deterministic synthetic logs --
+  * per-player class stats, heal spread, medic stats, chat, keying and order.
+  */
+class GoldenPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("golden")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Seed = 42L
+  private val NDocs = 6
+  private val Lines = 500
+
+  private def feq(a: Float, b: Float): Boolean =
+    a == b || (a.isNaN && b.isNaN) ||
+      math.abs(a - b) <= 1e-3f * math.max(1f, math.abs(b))
+
+  test("pipeline matches reference simulator on synthetic logs") {
+    spark.sparkContext.setLogLevel("WARN")
+    val input = LogGen.generate(spark, NDocs, Lines, Seed).toDF()
+    val env = TfPipeline.envelope(input)
+    val routed = TfPipeline.routed(env).cache()
+    val dim = TfPipeline.subjectDim(routed)
+    val pp = TfPipeline
+      .perPlayer(routed, dim)
+      .withColumn("heal_entries", map_entries(col("heals"))) // order-preserving view
+      .collect()
+    val chat = TfPipeline.chat(routed, dim).collect()
+
+    val ppByDoc = pp.groupBy(_.getString(0))
+    val chatByDoc = chat.map(r => r.getString(0) -> r).toMap
+
+    for (docId <- 0 until NDocs) {
+      val docKey = f"log-$docId%06d"
+      val lines = LogGen.docLines(Seed, docId.toLong, Lines)
+      val sim = ReferenceSim.run(lines)
+      assert(!sim.hardError, s"$docKey: simulator hit a hard error (generator bug)")
+
+      val rows = ppByDoc.getOrElse(docKey, Array.empty).sortBy(_.getLong(2))
+      assert(
+        rows.map(_.getString(1)).toSeq == sim.perPlayer.map(_.steam3),
+        s"$docKey: player key set/order mismatch"
+      )
+      for ((row, exp) <- rows.zip(sim.perPlayer)) {
+        val who = s"$docKey/${exp.steam3}"
+        assert(row.getLong(2) == exp.steam64, s"$who steam64")
+        def arr(i: Int): Seq[Long] = row.getSeq[Long](i)
+        assert(arr(4) == exp.kills.toSeq, s"$who kills")
+        assert(arr(5) == exp.deaths.toSeq, s"$who deaths")
+        assert(arr(6) == exp.assists.toSeq, s"$who assists")
+        assert(arr(7) == exp.damage.toSeq, s"$who damage")
+        val heals = row
+          .getSeq[org.apache.spark.sql.Row](10)
+          .map(e => (e.getString(0), e.getLong(1)))
+        assert(heals == exp.heals, s"$who heals (order + values)")
+        val m = row.getStruct(9)
+        assert(m.getLong(0) == exp.medic.advantagesLost, s"$who advantages_lost")
+        assert(feq(m.getFloat(1), exp.medic.biggestAdvantageLost), s"$who biggest_advantage_lost")
+        assert(m.getLong(2) == exp.medic.nearFullChargeDeath, s"$who near_full")
+        assert(m.getLong(3) == exp.medic.deathsAfterUber, s"$who deaths_after_uber")
+        assert(feq(m.getFloat(4), exp.medic.avgTimeBeforeHealing), s"$who avg_time_before_healing")
+        assert(feq(m.getFloat(5), exp.medic.avgTimeToBuild), s"$who avg_time_to_build")
+        assert(feq(m.getFloat(6), exp.medic.avgTimeToUse), s"$who avg_time_to_use")
+        assert(feq(m.getFloat(7), exp.medic.avgUberLength), s"$who avg_uber_length")
+        assert(m.getLong(8) == exp.medic.chargeCount, s"$who charge_count")
+        assert(m.getLong(9) == exp.medic.drops, s"$who drops")
+      }
+
+      // chat
+      val got = chatByDoc
+        .get(docKey)
+        .map(_.getSeq[org.apache.spark.sql.Row](1))
+        .getOrElse(Seq.empty)
+      assert(got.length == sim.chat.length, s"$docKey chat length")
+      for ((g, e) <- got.zip(sim.chat)) {
+        assert(g.getLong(0) == e.time, s"$docKey chat time")
+        assert(g.getString(1) == e.name, s"$docKey chat name")
+        assert(g.getLong(2) == e.steam64, s"$docKey chat steam64")
+        assert(g.getString(3) == e.message, s"$docKey chat message")
+        assert(g.getString(4) == e.chatType, s"$docKey chat type")
+      }
+    }
+  }
+
+  test("routed rows preserve the token array exactly (per-row invariant)") {
+    val input = LogGen.generate(spark, 2, 200, Seed).toDF()
+    val env = TfPipeline.envelope(input)
+    val bad = TfPipeline
+      .routable(env)
+      .withColumn("reline", graft.expr.GraftExpressions.tokens_to_string(col("tokens")))
+      .join(input.select(col("doc_id"), col("line_no"), col("tokens").as("orig")), Seq("doc_id", "line_no"))
+      .filter(not(col("tokens") <=> col("orig")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("tokenize/detokenize round-trips (including multi-byte codepoints)") {
+    val strings = Seq("hello", "héllo wörld", "emoji 😀 test", "", "\"quoted\" <x>")
+    for (s <- strings) {
+      val toks = LogGen.tokenize(s)
+      assert(new String(toks, 0, toks.length) == s)
+    }
+  }
+}
