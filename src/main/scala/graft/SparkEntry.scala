@@ -1,13 +1,465 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.loggen.LogGen
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Route, TfPipeline}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract (see SURVEY.md §7): every operator in SURVEY.md §2 has a
+  * `queries` entry; SQL-expressible ones carry a DuckDB oracle twin in
+  * [[oracleSql]] with IDENTICAL column names and integer-stable arithmetic
+  * (money in cents, similarities floored x1e4) so value hashes compare
+  * exactly. The tf_* queries run the reference pipeline on the deterministic
+  * synthetic tokenized table (driver check: rows>0; full semantics are
+  * golden-tested against ReferenceSim in ScalaTest).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // deterministic synthetic tokenized-log table, sized by the sf directory
+  private val genCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def tfInput(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir + "#" + System.identityHashCode(spark)
+    genCache.getOrElseUpdate(
+      key, {
+        val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+        val docs = math.max(2, (sf * 2000).toInt)
+        val df = LogGen.generate(spark, docs, 500, 42L).toDF().persist()
+        df.count()
+        df
+      }
+    )
+  }
+
+  private def routedOf(spark: SparkSession, dir: String): DataFrame =
+    TfPipeline.routed(TfPipeline.envelope(tfInput(spark, dir)))
+
+  /** Flagship: full per-player stats from the tokenized log table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val routed = routedOf(spark, "/root/testdata/sf0.001")
+    TfPipeline.perPlayer(routed, TfPipeline.subjectDim(routed))
+  }
+
+  // ---- documents helpers (shared Spark/SQL shapes) ------------------------
+  private def words(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ================= TF pipeline (rows-only checks; golden-tested) ======
+    "tf_per_player" -> ((s, d) => {
+      val r = routedOf(s, d); TfPipeline.perPlayer(r, TfPipeline.subjectDim(r))
+    }),
+    "tf_chat" -> ((s, d) => {
+      val r = routedOf(s, d); TfPipeline.chat(r, TfPipeline.subjectDim(r))
+    }),
+    "tf_route_counts" -> ((s, d) =>
+      TfPipeline
+        .routable(TfPipeline.envelope(tfInput(s, d)))
+        .groupBy("route")
+        .count()
+        .orderBy("route")),
+    "tf_envelope" -> ((s, d) =>
+      TfPipeline
+        .envelope(tfInput(s, d))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(size(col("tokens"))).as("n_tokens"))
+        .orderBy("event_type")),
+    "tf_subject_dim" -> ((s, d) => TfPipeline.subjectDim(routedOf(s, d)).orderBy("doc_id", "sid")),
+    "tf_multimodal_features" -> ((s, d) =>
+      Multimodal
+        .extractFeatures(s, Multimodal.mediaFromDocuments(T(s, d, "documents")), 8)
+        .toDF()
+        .orderBy("media_id")),
+    "tf_simhash" -> ((s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        Dedup.simhash60(words(col("text"))).as("simhash")
+      )),
+    "tf_lsh_candidates" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
+      Dedup.lshCandidates(docs, col("doc_id"), col("sh"), 8, 2).orderBy("id_a", "id_b")
+    }),
+    "tf_ann_lsh" -> ((s, d) => {
+      val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(e, 64, 4, 3, 7L).orderBy("qid", "rank")
+    }),
+
+    // ================= SQL twins with DuckDB oracles ======================
+    "q1_agg" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5)).cast("long").as("sum_price_cents"),
+          count(lit(1)).as("cnt")
+        )),
+    "q_route_counts" -> ((s, d) =>
+      T(s, d, "events").groupBy(col("event_type")).agg(count(lit(1)).as("n"))),
+    "q_first_seen" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min_by(col("props"), col("event_id")).as("first_props"),
+          min(col("ts")).as("first_ts"),
+          count(lit(1)).as("n")
+        )),
+    "q_broadcast_join" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("long").as("sum_qty")
+        )),
+    "q_asof_join" -> ((s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, d, "events")
+        .withColumn(
+          "last_view_cents",
+          last(when(col("event_type") === "view", floor(col("value") * 100 + 0.5)), ignoreNulls = true).over(w)
+        )
+        .filter(col("event_type") === "purchase" && col("last_view_cents").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(col("last_view_cents")).cast("long").as("sum_last_view_cents")
+        )
+    }),
+    "q_round_gate" -> ((s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T(s, d, "events")
+        .withColumn(
+          "gate",
+          last(
+            when(col("event_type") === "signup", 1).when(col("event_type") === "error", 0),
+            ignoreNulls = true
+          ).over(w)
+        )
+        .filter(col("event_type") === "click" && col("gate") === 1)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("clicks_while_active"))
+    }),
+    "q_topk_window" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
+      T(s, d, "events")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(
+          col("event_type"),
+          col("rank"),
+          col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_cents")
+        )
+    }),
+    "q_sessionize" -> ((s, d) => {
+      val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = T(s, d, "events")
+        .withColumn(
+          "new_sess",
+          when(
+            unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wo)) > 3600,
+            1
+          ).otherwise(0)
+        )
+        .withColumn("sess_id", sum(col("new_sess")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("sess_events"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("sess_events")).as("max_session_events")
+        )
+    }),
+    "q_collect_ordered" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(
+            slice(
+              transform(
+                array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+                e => e.getField("event_type")
+              ),
+              1,
+              5
+            ),
+            ","
+          ).as("first5")
+        )),
+    "q_saturating" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          least(sum(floor(col("value") * 100 + 0.5)), lit(500000L)).cast("long").as("sat_cents"),
+          least(count(lit(1)), lit(1000L)).as("sat_cnt")
+        )),
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactByKey(
+        T(s, d, "documents"),
+        col("doc_id"),
+        concat_ws(" ", slice(words(col("text")), 1, 3))
+      )),
+    "q_minhash_sig" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
+      docs.select(col("doc_id") +: Dedup.minhashSignature(col("sh"), 8): _*)
+    }),
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
+      Dedup
+        .ngramJaccardPairs(docs, col("doc_id"), col("sh"))
+        .filter(col("jaccard_x10000") >= 500)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard_x10000"))
+    }),
+    "q_cosine_topk" -> ((s, d) => {
+      val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity
+        .bruteForceTopK(e.filter(col("id") < 30), e, 3)
+        .select(col("qid"), col("cid"), col("sim_x10000"), col("rank"))
+    }),
+    "q_langid" -> ((s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_guess")
+      )),
+    "q_quality" -> ((s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.qualityScore(col("text")).cast("long").as("quality")
+      )),
+    "q_token_counts" -> ((s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens")
+      )),
+    "q_fingerprint" -> ((s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.wordSetFingerprint(words(col("text"))).as("wordset_fp"),
+        TextOps.rollingFingerprint(words(col("text"))).as("rolling_fp")
+      )),
+    "q_skew_salted" -> ((s, d) => {
+      // two-stage salted aggregation (explicit skew handling) must equal the
+      // plain group-by oracle
+      T(s, d, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).cast("long").as("n"))
+    }),
+    "q_binary_meta" -> ((s, d) =>
+      Multimodal
+        .mediaFromDocuments(T(s, d, "documents"))
+        .select(
+          col("media_id"),
+          col("kind"),
+          octet_length(col("media")).cast("long").as("n_bytes")
+        ))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS sum_price_cents,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_route_counts" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    "q_first_seen" ->
+      """SELECT user_id, arg_min(props, event_id) AS first_props,
+        |  min(ts) AS first_ts, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT p_brand, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'view' THEN floor(value * 100 + 0.5) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_cents
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(last_view_cents) AS BIGINT) AS sum_last_view_cents
+        |FROM w WHERE event_type = 'purchase' AND last_view_cents IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q_round_gate" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN 1
+        |                    WHEN event_type = 'error' THEN 0 END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gate
+        |  FROM events)
+        |SELECT user_id, count(*) AS clicks_while_active
+        |FROM w WHERE event_type = 'click' AND gate = 1 GROUP BY 1""".stripMargin,
+    "q_topk_window" ->
+      """WITH w AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events)
+        |SELECT event_type, rank, event_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        |FROM w WHERE rank <= 3""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |c AS (SELECT user_id, sess_id, count(*) AS sess_events FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(sess_events) AS max_session_events
+        |FROM c GROUP BY 1""".stripMargin,
+    "q_collect_ordered" ->
+      """SELECT user_id,
+        |  array_to_string((list(event_type ORDER BY ts, event_id))[1:5], ',') AS first5
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_saturating" ->
+      """SELECT event_type,
+        |  CAST(least(sum(floor(value * 100 + 0.5)), 500000) AS BIGINT) AS sat_cents,
+        |  least(count(*), 1000) AS sat_cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(array_to_string((string_split(text, ' '))[1:3], ' ')) AS content_key,
+        |  min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_minhash_sig" -> {
+      val sigs = (0 until 8)
+        .map { i =>
+          s"""  list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT)) AS sig_$i"""
+        }
+        .mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) < 3 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+         |  FROM d)
+         |SELECT doc_id,
+         |$sigs
+         |FROM sh""".stripMargin
+    },
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM d WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+        |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter,
+        |  sa.n + sb.n - inter AS uni,
+        |  CAST(floor(inter * 10000 / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_x10000
+        |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE floor(inter * 10000 / (sa.n + sb.n - inter)) >= 500""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    CAST(floor(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) AS BIGINT) AS sim_x10000
+        |  FROM e a JOIN e b ON a.vec_id < 30 AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT qid, cid, sim_x10000,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim_x10000 DESC, cid ASC) AS rank
+        |  FROM s)
+        |SELECT qid, cid, sim_x10000, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_langid" -> {
+      def cnt(m: String) =
+        s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+      val scores = Seq(
+        "en" -> Seq(" the ", " and ", " of "),
+        "es" -> Seq(" el ", " la ", " de "),
+        "de" -> Seq(" der ", " und ", " die "),
+        "fr" -> Seq(" le ", " et ", " les "),
+        "zh" -> Seq(" zh ", " shi ", " de ")
+      )
+      val sels = scores
+        .map { case (l, ms) => s"  CAST(${ms.map(cnt).mkString(" + ")} AS BIGINT) AS s_$l" }
+        .mkString(",\n")
+      s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |$sels
+         |  FROM p),
+         |b AS (SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+         |        greatest(s_en, s_es, s_de, s_fr, s_zh) AS best FROM sc)
+         |SELECT doc_id,
+         |  CASE WHEN best <= 0 THEN 'und'
+         |       WHEN s_en = best THEN 'en'
+         |       WHEN s_es = best THEN 'es'
+         |       WHEN s_de = best THEN 'de'
+         |       WHEN s_fr = best THEN 'fr'
+         |       ELSE 'zh' END AS lang_guess
+         |FROM b""".stripMargin
+    },
+    "q_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |    length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS punct
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, n_chars, n_tok, punct,
+        |    CASE WHEN n_tok = 0 THEN 0 ELSE floor(n_chars * 100 / n_tok) END AS avg_len100
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(greatest(least(least(n_chars, 400)
+        |    + (CASE WHEN avg_len100 BETWEEN 300 AND 900 THEN 400 ELSE 100 END)
+        |    + 200 - least(punct * 10, 200), 1000), 0) AS BIGINT) AS quality
+        |FROM x""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |ws AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(list_distinct(words),
+        |          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)),
+        |      (a, b) -> (a + b) % 2147483647) AS wordset_fp,
+        |    list_reduce(
+        |      list_prepend([0::BIGINT, 1::BIGINT],
+        |        list_transform(words, x -> [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647, 0::BIGINT])),
+        |      (acc, e) -> [(acc[1] + e[1] * acc[2]) % 2147483647, (acc[2] * 31) % 2147483647]) AS roll
+        |  FROM w)
+        |SELECT doc_id, wordset_fp, roll[1] AS rolling_fp FROM ws""".stripMargin,
+    "q_skew_salted" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    "q_binary_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. Shuffle discipline: everything keys on a derived
+  * hash/bucket so the heavy joins are equi-joins Catalyst can plan as
+  * shuffle-hash (or broadcast for the small side), and candidate generation
+  * never goes O(n^2) -- pairs only materialize inside a shared bucket.
+  */
+object Dedup {
+
+  import TextOps.stableHash60
+
+  /** Exact dedup by content hash: one row per distinct key with the kept
+    * (minimum) id and the duplicate count. Map-side partial aggregation
+    * applies; the shuffle key is the 128-bit md5, so skew is impossible. */
+  def exactByKey(df: DataFrame, id: Column, key: Column): DataFrame =
+    df.groupBy(md5(key.cast("string")).as("content_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word shingles (n consecutive words joined by a space). */
+  def shingles(words: Column, n: Int): Column =
+    when(size(words) < n, array())
+      .otherwise(
+        transform(
+          sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)
+        )
+      )
+
+  /** k MinHash values over the distinct shingle set, salt-indexed so every
+    * hash function is independent: sig_i = min over s of h(i || s). */
+  def minhashSignature(shingleCol: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      array_min(
+        transform(array_distinct(shingleCol), s => stableHash60(concat(lit(i + ":"), s)))
+      ).as(s"sig_$i")
+    }
+
+  /** MinHash LSH candidate pairs: signatures banded (bandSize rows/band);
+    * docs sharing any band bucket become candidates. Returns (id_a, id_b)
+    * with id_a < id_b, distinct. The band join is an equi-join on
+    * (band_index, band_hash) -- a co-partitioned shuffle, not a cross join. */
+  def lshCandidates(
+      df: DataFrame,
+      id: Column,
+      shingleCol: Column,
+      k: Int,
+      bandSize: Int
+  ): DataFrame = {
+    val sigs = minhashSignature(shingleCol, k)
+    val nBands = k / bandSize
+    val sigDf = df.select(id.as("id") +: sigs: _*)
+    val banded = sigDf.select(
+      col("id"),
+      posexplode(
+        array((0 until nBands).map { b =>
+          hash((b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i")): _*)
+        }: _*)
+      ).as(Seq("band", "band_hash"))
+    )
+    banded
+      .as("l")
+      .join(banded.as("r"), Seq("band", "band_hash"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash over the word multiset: per bit, sum +-1 weighted by
+    * word frequency; bit set where the sum is positive. */
+  def simhash60(words: Column): Column = {
+    val hashes = transform(words, w => stableHash60(w))
+    (0 until 60)
+      .map { bit =>
+        val votes = aggregate(
+          hashes,
+          lit(0L),
+          (acc, h) => acc + when(shiftrightunsigned(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+        )
+        when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+      }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share at least
+    * one shingle: explode -> self-equi-join on the shingle hash -> intersection
+    * counts; union = |A| + |B| - |A ∩ B|. jaccard scaled x10000 (integer). */
+  def ngramJaccardPairs(df: DataFrame, id: Column, shingleCol: Column): DataFrame = {
+    val ex = df
+      .select(id.as("id"), explode(array_distinct(shingleCol)).as("sh"))
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = ex
+      .as("l")
+      .join(ex.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("inter"),
+        (col("sa.n") + col("sb.n") - col("inter")).as("uni"),
+        floor(col("inter") * 10000L / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard_x10000")
+      )
+  }
+}

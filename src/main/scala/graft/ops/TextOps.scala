@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language id, fingerprinting. All built from
+  * codegen'd built-ins (no UDFs) so they whole-stage-compile and push down;
+  * every function has an ANSI-SQL twin runnable in DuckDB for the oracle.
+  */
+object TextOps {
+
+  /** Whitespace token count (empty text -> 0). */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation+digit character count (everything outside [a-z ]). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z ]", ""))
+
+  /** Integer quality score in [0, 1000]: length saturation + word-length
+    * sanity - punctuation penalty. Deterministic integer arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nTok = wsTokenCount(text)
+    val avgLen100 = when(nTok === 0, 0L).otherwise(floor(nChars * 100L / nTok))
+    val lenScore = least(nChars, lit(400)) // saturates at 400 chars
+    val wordScore =
+      when(avgLen100 >= 300 && avgLen100 <= 900, 400L).otherwise(100L)
+    val punctPenalty = least(punctCount(text) * 10L, lit(200L))
+    greatest(least(lenScore + wordScore + lit(200L) - punctPenalty, lit(1000L)), lit(0L))
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq(" zh ", " shi ", " de ")
+  )
+
+  /** Occurrences of a literal substring (cross-engine: length arithmetic). */
+  def substrCount(text: Column, lit0: String): Column =
+    ((length(text) - length(replace(text, lit(lit0), lit("")))) / lit0.length).cast("long")
+
+  /** N-gram-marker language id with deterministic tie-break (marker order). */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = markers.map { case (lang, ms) =>
+      lang -> ms.map(m => substrCount(padded, m)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** 60-bit cross-engine-stable hash: md5 hex prefix as integer. The same
+    * value is computable in DuckDB as ('0x' || substr(md5(x),1,15))::bigint. */
+  def stableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Order-independent document fingerprint: sum of per-distinct-word hashes
+    * mod 2^31 (exact integer arithmetic in any engine). */
+  def wordSetFingerprint(words: Column): Column =
+    pmod(
+      aggregate(
+        array_distinct(words),
+        lit(0L),
+        (acc, w) => pmod(acc + pmod(stableHash60(w), lit(2147483647L)), lit(2147483647L))
+      ),
+      lit(2147483647L)
+    )
+
+  /** Rolling (positional polynomial) fingerprint over the word sequence:
+    * h = sum(hash(w_i) * 31^i) mod p. Order-sensitive document identity. */
+  def rollingFingerprint(words: Column): Column = {
+    val p = lit(2147483647L)
+    // fold (h, pow) as a struct accumulator
+    val folded = aggregate(
+      words,
+      struct(lit(0L).as("h"), lit(1L).as("pow")),
+      (acc, w) =>
+        struct(
+          pmod(acc.getField("h") + pmod(stableHash60(w), p) * acc.getField("pow"), p).as("h"),
+          pmod(acc.getField("pow") * 31L, p).as("pow")
+        )
+    )
+    folded.getField("h")
+  }
+}
