@@ -1,24 +1,87 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.TfPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON line to
+  * stdout. Forces plans with the noop sink (no driver-side collect). The
+  * flagship metric is parse->route->aggregate throughput in sequences/sec
+  * over the synthetic tokenized table (BASELINE.md north rule).
+  */
 object Bench {
+
+  def force(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def session(cpus: String): SparkSession = SparkSession
+    .builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** End-to-end pipeline: envelope -> classify -> route -> all four module
+    * aggregates + assembly, forced through the noop sink. */
+  def pipelineOnce(spark: SparkSession, input: DataFrame): Unit = {
+    val routed = TfPipeline.routed(TfPipeline.envelope(input)).persist()
+    try {
+      val dim = TfPipeline.subjectDim(routed)
+      force(TfPipeline.perPlayer(routed, dim))
+      force(TfPipeline.chat(routed, dim))
+    } finally routed.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // pre-generate the tokenized table outside the timed region
+    val input = SparkEntry.tfInput(spark, sfDir)
+    val nRows = input.count()
+
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val headline: Seq[(String, () => Unit)] = Seq(
+      "tf_pipeline" -> (() => pipelineOnce(spark, input)),
+      "tf_envelope" -> (() => force(TfPipeline.envelope(input))),
+      "tf_route_write" -> (() => force(TfPipeline.routable(TfPipeline.envelope(input)))),
+      "q1_agg" -> (() => force(SparkEntry.queries("q1_agg")(spark, sfDir))),
+      "q_asof_join" -> (() => force(SparkEntry.queries("q_asof_join")(spark, sfDir))),
+      "q_sessionize" -> (() => force(SparkEntry.queries("q_sessionize")(spark, sfDir))),
+      "q_minhash_sig" -> (() => force(SparkEntry.queries("q_minhash_sig")(spark, sfDir))),
+      "q_ngram_jaccard" -> (() => force(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir))),
+      "q_cosine_topk" -> (() => force(SparkEntry.queries("q_cosine_topk")(spark, sfDir))),
+      "q_dedup_exact" -> (() => force(SparkEntry.queries("q_dedup_exact")(spark, sfDir)))
+    )
+
+    // one warmup of the flagship to JIT/codegen-compile before timing
+    try pipelineOnce(spark, input)
+    catch { case _: Throwable => }
+
+    val results = headline.map { case (name, f) =>
+      val sec = try timed(f())
+      catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val pipeSec = results.toMap.getOrElse("tf_pipeline", -1.0)
+    val thr = if (pipeSec > 0) nRows / pipeSec else -1.0
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","rows":$nRows%d,"cpus":"$cpus%s","pipeline_seq_per_sec":$thr%.1f}"""
+    )
     spark.stop()
   }
 }

@@ -159,6 +159,19 @@ object TfPipeline {
       .withColumn("sid", subject_id(col("kind"), col("subject")))
       .withColumn("start_ts", first(col("ts")).over(wDoc))
       .withColumn("time", pmod(col("ts") - col("start_ts"), lit(4294967296L)))
+      // round-active gate (A13) hoisted here so the one ordered-window pass
+      // is shared by every consumer of the (persisted) routed frame
+      .withColumn(
+        "active",
+        coalesce(
+          last(
+            when(col("event_type") === "round_start", lit(true))
+              .when(col("event_type") === "round_win", lit(false)),
+            ignoreNulls = true
+          ).over(wDoc),
+          lit(false)
+        )
+      )
       .drop("handled", "typed_err", "drop", "hard_error", "consumes_next", "status")
   }
 
@@ -344,20 +357,9 @@ object TfPipeline {
   /** Class stats (A1-A4 + J3 as-of class lookup + A13 round gate). */
   def classStats(routedDf: DataFrame): DataFrame = {
     val ty = col("event_type")
-    val base = routedDf
-      .filter(
-        ty.isin("kill", "kill_assist", "damage", "spawned", "role_change", "round_start", "round_win")
-      )
-      .withColumn(
-        "active",
-        coalesce(
-          last(
-            when(ty === "round_start", lit(true)).when(ty === "round_win", lit(false)),
-            ignoreNulls = true
-          ).over(wDoc),
-          lit(false)
-        )
-      )
+    val base = routedDf.filter(
+      ty.isin("kill", "kill_assist", "damage", "spawned", "role_change", "round_start", "round_win")
+    )
 
     // ---- state rows: class changes + (active) kill-target entry creation
     val classKey = when(ty === "spawned", element_at(col("pm"), "as"))

@@ -1,0 +1,142 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit/property tests for the training-data operators that have no SQL
+  * oracle (SimHash, LSH recall) plus sanity for the stubbed multimodal path.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("ops")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("simhash: near-duplicates have small hamming distance") {
+    spark.sparkContext.setLogLevel("WARN")
+    val sh = docs
+      .select(col("doc_id"), Dedup.simhash60(split(col("text"), " ")).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) == 0) // identical text -> identical hash
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)), "near-dup closer than unrelated")
+    assert(ham(sh(1L), sh(2L)) <= 12)
+  }
+
+  test("minhash LSH finds the near-duplicate pair") {
+    val withSh = docs.select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+    val pairs = Dedup
+      .lshCandidates(withSh, col("doc_id"), col("sh"), 8, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), "near-dup should collide")
+    assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)), "unrelated docs mostly don't collide")
+  }
+
+  test("jaccard pairs: exact dup = 10000, near dup high, unrelated absent") {
+    val withSh = docs.select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+    val j = Dedup
+      .ngramJaccardPairs(withSh, col("doc_id"), col("sh"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4)))
+      .toMap
+    assert(j((1L, 4L)) == 10000L)
+    assert(j((1L, 2L)) >= 7000L)
+    assert(!j.contains((1L, 3L)))
+  }
+
+  test("brute-force cosine topk is exact and deterministic") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(-1f, 0f, 0f))
+    ).toDF("id", "vec")
+    val top = Similarity
+      .bruteForceTopK(vecs.filter(col("id") === 1), vecs, 2)
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.toSeq == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("LSH ANN recall: same-bucket neighbors found, results subset of brute force") {
+    val n = 50
+    val vecs = (0 until n).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)
+      (i.toLong, base)
+    }.toDF("id", "vec")
+    val bf = Similarity.bruteForceTopK(vecs, vecs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(vecs, 8, 2, 3, 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.nonEmpty)
+    val recall = lsh.count(bf.contains).toDouble / lsh.length
+    assert(recall >= 0.3, s"LSH results wildly off brute force: $recall")
+  }
+
+  test("multimodal stub codec: deterministic features, histogram sums to bytes") {
+    val media = Multimodal.mediaFromDocuments(
+      docs.select(col("doc_id"), col("text"))
+    )
+    val feats = Multimodal.extractFeatures(spark, media, 2).collect()
+    assert(feats.length == 4)
+    for (f <- feats) {
+      assert(f.histogram16.sum == f.n_bytes)
+      assert(f.n_bytes > 0)
+      if (f.kind == "video") assert(f.frames_sampled >= 1)
+    }
+    // determinism across runs
+    val again = Multimodal.extractFeatures(spark, media, 3).collect()
+    assert(feats.sortBy(_.media_id).map(_.byte_mean_x1000).toSeq ==
+      again.sortBy(_.media_id).map(_.byte_mean_x1000).toSeq)
+  }
+
+  test("fingerprints: rolling is order-sensitive, wordset is not") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val r = df
+      .select(
+        col("doc_id"),
+        TextOps.rollingFingerprint(split(col("text"), " ")).as("roll"),
+        TextOps.wordSetFingerprint(split(col("text"), " ")).as("ws")
+      )
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(r(1L)._1 == r(3L)._1 && r(1L)._1 != r(2L)._1)
+    assert(r(1L)._2 == r(2L)._2)
+  }
+
+  test("language id picks marker-heavy language deterministically") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato la casa de el perro"),
+      (3L, "der hund und die katze der strasse"),
+      (4L, "xyz abc qqq")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de" && got(4L) == "und")
+  }
+}
