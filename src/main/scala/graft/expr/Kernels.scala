@@ -52,13 +52,14 @@ object Kernels {
     * `__error -> "1"` entry. Duplicate keys keep the LAST occurrence
     * (mirrors the reference's sequential field assignment). */
   def paramsMap(eventType: UTF8String, params: UTF8String): MapData = {
-    val p = LineParser.paramsFor(eventType.toString, params.toString)
+    val ty = eventType.toString
+    val p = LineParser.paramsFor(ty, params.toString)
     var n = p.keys.length
     // dedupe last-wins (rare): scan for duplicates
     val keys = new java.util.LinkedHashMap[String, String](n * 2)
     var i = 0
     while (i < n) { keys.put(p.keys(i), p.values(i)); i += 1 }
-    if (p.error) keys.put("__error", "1")
+    if (p.error || LineParser.typedError(ty, p.keys, p.values)) keys.put("__error", "1")
     n = keys.size()
     val ks = new Array[Any](n)
     val vs = new Array[Any](n)

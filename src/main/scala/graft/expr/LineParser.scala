@@ -441,6 +441,51 @@ object LineParser {
     catch { case _: NumberFormatException => null }
   }
 
+  /** Typed-field validation for a handled event: true when the reference's
+    * Event::parse would error on a present-but-malformed optional field
+    * (`event.field = parse_field(value)?` propagation). Last-wins lookup over
+    * the raw key/value arrays. */
+  def typedError(eventType: String, keys: Array[String], values: Array[String]): Boolean = {
+    def get(k: String): String = {
+      var i = keys.length - 1
+      while (i >= 0) {
+        if (keys(i) == k) return values(i)
+        i -= 1
+      }
+      null
+    }
+    def badU32(k: String) = { val v = get(k); v != null && clampParse(v, 4294967295L) == null }
+    def badI64(k: String) = {
+      val v = get(k); v != null && clampParseSigned(v, Long.MinValue, Long.MaxValue) == null
+    }
+    def badF32(k: String) = { val v = get(k); v != null && parseF32(v) == null }
+    def badPos(k: String) = {
+      val v = get(k)
+      v != null && {
+        val a = v.indexOf(' ')
+        if (a < 0) true
+        else {
+          val b = v.indexOf(' ', a + 1)
+          b < 0 ||
+          clampParseSigned(v.substring(0, a), Int.MinValue, Int.MaxValue) == null ||
+          clampParseSigned(v.substring(a + 1, b), Int.MinValue, Int.MaxValue) == null ||
+          clampParseSigned(v.substring(b + 1), Int.MinValue, Int.MaxValue) == null
+        }
+      }
+    }
+    eventType match {
+      case "healed"         => badU32("healing")
+      case "damage"         => badI64("damage") || badI64("realdamage")
+      case "kill"           => badPos("attacker_position") || badPos("victim_position")
+      case "kill_assist"    => badPos("attacker_position") || badPos("victim_position")
+      case "charge_ended"   => badF32("duration")
+      case "advantage_lost" => badF32("time")
+      case "first_heal"     => badF32("time")
+      case "medic_death"    => badU32("ubercharge")
+      case _                => false
+    }
+  }
+
   /** Class alias normalization (common.rs:101-118): total, never errors. */
   def classNormalize(s: String): String = s match {
     case "Scout" | "scout"                                   => "scout"

@@ -78,26 +78,11 @@ object TfPipeline {
       )
   }
 
-  /** Per-type field-error predicate replicating the reference's `?`
-    * propagation for present-but-malformed optional fields. */
-  private def typedErr(ty: Column, pm: Column, params: Column): Column = {
-    def bad(key: String, parse: Column => Column): Column = {
-      val v = element_at(pm, key)
-      v.isNotNull && parse(v).isNull
-    }
-    val badU32 = (k: String) => bad(k, clamp_u32)
-    val badI64 = (k: String) => bad(k, clamp_i64)
-    val badF32 = (k: String) => bad(k, parse_f32)
-    val badPos = (k: String) => bad(k, parse_position)
-    element_at(pm, "__error").isNotNull ||
-    (ty === "healed" && badU32("healing")) ||
-    (ty === "damage" && (badI64("damage") || badI64("realdamage"))) ||
-    ((ty === "kill" || ty === "kill_assist") &&
-      (badPos("attacker_position") || badPos("victim_position"))) ||
-    (ty === "charge_ended" && badF32("duration")) ||
-    ((ty === "advantage_lost" || ty === "first_heal") && badF32("time")) ||
-    (ty === "medic_death" && badU32("ubercharge"))
-  }
+  /** Event-level parse error: the params kernel validates required AND
+    * present-but-malformed typed fields in one pass and flags `__error`
+    * (replicates the reference's `?` propagation). */
+  private def typedErr(pm: Column): Column =
+    element_at(pm, "__error").isNotNull
 
   // -------------------------------------------------------------------------
   // Stage 3: classification + routing
@@ -123,8 +108,7 @@ object TfPipeline {
       )
       .withColumn(
         "typed_err",
-        when(handled, typedErr(col("event_type"), col("pm"), col("params")))
-          .otherwise(lit(false))
+        when(handled, typedErr(col("pm"))).otherwise(lit(false))
       )
     val rescueA =
       col("typed_err") && col("params").contains(concat(lit("L "), substring(col("date"), 1, 10)))
@@ -151,9 +135,11 @@ object TfPipeline {
 
   /** Surviving handled rows with event time: the aggregate layer's input.
     * `time` = u32 seconds since the first surviving handled line per doc
-    * (module/mod.rs:37-44). */
+    * (module/mod.rs:37-44). Narrow: heavyweight payload columns (tokens,
+    * raw params) are pruned BEFORE the per-doc window exchange -- they are
+    * only needed on the route-write path ([[routable]]). */
   def routed(env: DataFrame): DataFrame = {
-    val cls = classified(env)
+    val cls = classified(env.drop("tokens"))
     cls
       .filter(col("handled") && !col("drop") && !col("hard_error"))
       .withColumn("sid", subject_id(col("kind"), col("subject")))
@@ -172,7 +158,8 @@ object TfPipeline {
           lit(false)
         )
       )
-      .drop("handled", "typed_err", "drop", "hard_error", "consumes_next", "status")
+      .drop("handled", "typed_err", "drop", "hard_error", "consumes_next", "status",
+        "params", "date")
   }
 
   /** All valid-envelope rows (any event type) with sid -- the full routing

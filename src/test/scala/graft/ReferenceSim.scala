@@ -75,31 +75,12 @@ object ReferenceSim {
 
   def typedParse(eventType: String, params: String): Typed = {
     val p = LineParser.paramsFor(eventType, params)
-    var err = p.error
+    val err = p.error || LineParser.typedError(eventType, p.keys, p.values)
     val m = {
       val b = mutable.LinkedHashMap.empty[String, String]
       var i = 0
       while (i < p.keys.length) { b(p.keys(i)) = p.values(i); i += 1 }
       b.toMap
-    }
-    def badU32(k: String) = m.contains(k) && LineParser.clampParse(m(k), 4294967295L) == null
-    def badI64(k: String) =
-      m.contains(k) && LineParser.clampParseSigned(m(k), Long.MinValue, Long.MaxValue) == null
-    def badF32(k: String) = m.contains(k) && LineParser.parseF32(m(k)) == null
-    def badPos(k: String) =
-      m.contains(k) && graft.expr.Kernels.parsePosition(
-        org.apache.spark.unsafe.types.UTF8String.fromString(m(k))
-      ) == null
-    eventType match {
-      case "healed"      => err ||= badU32("healing")
-      case "damage"      => err ||= badI64("damage") || badI64("realdamage")
-      case "kill"        => err ||= badPos("attacker_position") || badPos("victim_position")
-      case "kill_assist" => err ||= badPos("attacker_position") || badPos("victim_position")
-      case "charge_ended"   => err ||= badF32("duration")
-      case "advantage_lost" => err ||= badF32("time")
-      case "first_heal"     => err ||= badF32("time")
-      case "medic_death"    => err ||= badU32("ubercharge")
-      case _                =>
     }
     new Typed(m, err)
   }
