@@ -17,7 +17,8 @@ object Bench {
     .builder()
     .master(s"local[$cpus]")
     .appName("graft-bench")
-    .config("spark.sql.shuffle.partitions", cpus)
+    // 4 waves per stage: straggler smoothing without tiny-task overhead
+    .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")

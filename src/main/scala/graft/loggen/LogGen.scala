@@ -268,7 +268,7 @@ object LogGen {
   def generate(spark: SparkSession, nDocs: Int, linesPerDoc: Int, seed: Long): Dataset[SeqRow] = {
     import spark.implicits._
     spark
-      .range(0, nDocs.toLong, 1, math.min(nDocs, 32))
+      .range(0, nDocs.toLong, 1, math.min(nDocs, 128)) // >=4 task waves on 32 cores: straggler smoothing
       .as[Long]
       .flatMap { docId =>
         val rng = new Rng(seed ^ docId)
