@@ -68,6 +68,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(size(col("tokens"))).as("n_tokens"))
         .orderBy("event_type")),
     "tf_subject_dim" -> ((s, d) => TfPipeline.subjectDim(routedOf(s, d)).orderBy("doc_id", "sid")),
+    "tf_lobby" -> ((s, d) => graft.pipeline.Lobby.lobbySettings(routedOf(s, d))),
     "tf_multimodal_features" -> ((s, d) =>
       Multimodal
         .extractFeatures(s, Multimodal.mediaFromDocuments(T(s, d, "documents")), 8)

@@ -1,0 +1,97 @@
+package graft
+
+import graft.loggen.LogGen
+import graft.pipeline.{Lobby, TfPipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LobbySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("lobby")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def toDf(docs: Seq[(String, Seq[String])]) = {
+    import spark.implicits._
+    docs.flatMap { case (doc, lines) =>
+      lines.zipWithIndex.map { case (l, i) =>
+        val t = LogGen.tokenize(l)
+        graft.loggen.SeqRow(doc, i.toLong, "s", t, t.length)
+      }
+    }.toDF()
+  }
+
+  private val C = """"Console<0><Console><Console>""""
+  private def say(msg: String) = s"""04/11/2021 - 23:33:27: $C say "$msg""""
+
+  test("lobby settings fold: arm, key/value fill, last-wins, date tz") {
+    spark.sparkContext.setLogLevel("WARN")
+    val lines = Seq(
+      say("Ignored: before arming"),
+      say("TF2Center Lobby #1148166 | 547089698"),
+      say("Leader: b4rney (76561198055036243)"),
+      say("Map: cp_gullywash_final1"),
+      say("GameType: 6v6"),
+      say("Location: Europe"),
+      say("Advanced Lobby: false"),
+      say("Region lock: true"),
+      say("Restriction: None"),
+      say("Mumble required: true"),
+      say("Launch date: Sun Apr 11 23:33:27 CEST 2021"),
+      say("Server: fakkelbrigade.eu:27055"),
+      say("Map: cp_process_final") // last-wins
+    )
+    val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d1", lines)))))
+    val out = Lobby.lobbySettings(routed).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getBoolean(1), "ok")
+    val st = r.getStruct(3)
+    assert(st.getLong(0) == 1148166L)
+    assert(st.getStruct(1).getString(0) == "b4rney")
+    assert(st.getStruct(1).getLong(1) == 76561198055036243L)
+    assert(st.getString(2) == "cp_process_final")
+    assert(st.getString(3) == "Sixes")
+    assert(st.getString(4) == "Europe")
+    assert(!st.getBoolean(5) && st.getBoolean(6))
+    assert(st.getString(9) == "None")
+    assert(st.getBoolean(10))
+    // CEST 23:33:27 -> 21:33:27 UTC
+    assert(st.getTimestamp(11).toInstant.toString == "2021-04-11T21:33:27Z")
+    assert(st.getString(12) == "fakkelbrigade.eu:27055")
+  }
+
+  test("error latch: first malformed value wins, later messages ignored") {
+    val lines = Seq(
+      say("TF2Center Lobby #99 | x"),
+      say("GameType: 9v9"), // unknown_game_type latches
+      say("Location: Nowhere") // ignored (already latched)
+    )
+    val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d2", lines)))))
+    val r = Lobby.lobbySettings(routed).collect()(0)
+    assert(!r.getBoolean(1))
+    assert(r.getString(2) == "unknown_game_type")
+  }
+
+  test("never armed -> no output row; non-console says ignored") {
+    val lines = Seq(
+      say("Leader: nobody (123)"),
+      """04/11/2021 - 23:33:27: "A<2><[U:1:100]><Red>" say "TF2Center Lobby #1 | x""""
+    )
+    val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d3", lines)))))
+    assert(Lobby.lobbySettings(routed).count() == 0)
+  }
+
+  test("bad lobby id in the header latches invalid_lobby_id") {
+    val lines = Seq(say("TF2Center Lobby #notanumber | x"), say("Map: foo"))
+    val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d4", lines)))))
+    val r = Lobby.lobbySettings(routed).collect()(0)
+    assert(!r.getBoolean(1) && r.getString(2) == "invalid_lobby_id")
+  }
+}
