@@ -236,48 +236,51 @@ object LineParser {
     * `objectowner` values end at `>"` (quotes are legal inside player names).
     * Stops at the first pair that fails to parse.
     */
-  def paramIter(input0: String): Params = {
-    var input = input0
-    val keys = new scala.collection.mutable.ArrayBuffer[String](8)
-    val vals = new scala.collection.mutable.ArrayBuffer[String](8)
+  def paramIter(input: String): Params = {
+    // index-cursor loop (no tail substrings -- this is the hottest function)
+    val keys = new java.util.ArrayList[String](8)
+    val vals = new java.util.ArrayList[String](8)
+    val n = input.length
+    var pos = 0
     var done = false
     while (!done) {
-      var in = input
-      var openTag = false
-      if (in.length > 0 && in.charAt(0) == '(') { openTag = true; in = in.substring(1) }
-      val sp = in.indexOf(' ')
-      if (sp < 0) { done = true }
+      var p = pos
+      var open = false
+      if (p < n && input.charAt(p) == '(') { open = true; p += 1 }
+      val sp = input.indexOf(' ', p)
+      if (sp < 0) done = true
       else {
-        val key = in.substring(0, sp)
-        var rest = in.substring(sp + 1)
-        if (rest.length < 1) { done = true }
+        val key = input.substring(p, sp)
+        p = sp + 1
+        if (p >= n) done = true // skip(input, 1) -> Incomplete
         else {
-          rest = rest.substring(1) // skip the opening quote position
+          p += 1 // skip the opening quote position
           var value: String = null
           if (key == "against" || key == "objectowner") {
-            val e = rest.indexOf(">\"")
-            if (e < 0) { done = true }
-            else { value = rest.substring(0, e + 1); rest = rest.substring(e + 2) }
+            val e = input.indexOf(">\"", p)
+            if (e < 0) done = true
+            else { value = input.substring(p, e + 1); p = e + 2 }
           } else {
-            val q = rest.indexOf('"')
-            if (q < 0) { done = true }
-            else { value = rest.substring(0, q); rest = rest.substring(q + 1) }
+            val q = input.indexOf('"', p)
+            if (q < 0) done = true
+            else { value = input.substring(p, q); p = q + 1 }
+          }
+          if (!done && open) {
+            if (p >= n) done = true else p += 1
           }
           if (!done) {
-            if (openTag) {
-              if (rest.length < 1) { done = true }
-              else rest = rest.substring(1)
-            }
-          }
-          if (!done) {
-            if (rest.length > 0 && rest.charAt(0) == ' ') rest = rest.substring(1)
-            keys += key; vals += value
-            input = rest
+            if (p < n && input.charAt(p) == ' ') p += 1
+            keys.add(key); vals.add(value)
+            pos = p
           }
         }
       }
     }
-    new Params(keys.toArray, vals.toArray, false)
+    new Params(
+      keys.toArray(new Array[String](keys.size())),
+      vals.toArray(new Array[String](vals.size())),
+      false
+    )
   }
 
   /** param_parse_with: blind positional skip of `key.len + 2`, value to `"`
