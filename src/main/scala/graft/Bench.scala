@@ -13,26 +13,58 @@ object Bench {
   def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
-  def session(cpus: String): SparkSession = SparkSession
-    .builder()
-    .master(s"local[$cpus]")
-    .appName("graft-bench")
-    // 4 waves per stage: straggler smoothing without tiny-task overhead
-    .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  /** Session at a given parallelism. Default master `local[cpus]`; set
+    * SPARK_GRAFT_EXECUTORS=K to use `local-cluster[K, cpus/K, mem]` instead --
+    * K SEPARATE executor JVMs, the faithful sandbox stand-in for the north
+    * rule's N vs 4N executors (per-executor heaps/GC like a real cluster). */
+  def session(cpus: String): SparkSession = {
+    val execs = sys.env.get("SPARK_GRAFT_EXECUTORS").map(_.toInt)
+    val master = execs match {
+      case Some(k) =>
+        val coresPer = math.max(1, cpus.toInt / k)
+        val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096")
+        s"local-cluster[$k,$coresPer,$memMb]"
+      case None => s"local[$cpus]"
+    }
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft-bench")
+      // 4 waves per stage: straggler smoothing without tiny-task overhead
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      // tmpfs shuffle dirs: the sandbox's single shared disk would otherwise
+      // serialize every shuffle; a real cluster has per-node local disks, so
+      // RAM-backed local dirs are the honest stand-in for scaling runs
+      .config(
+        "spark.local.dir",
+        sys.env.getOrElse(
+          "SPARK_GRAFT_LOCAL_DIR",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark" else "/tmp"
+        )
+      )
+      .config("spark.ui.enabled", "false")
+    execs.foreach { _ =>
+      val cp = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096")
+      b.config("spark.executor.memory", s"${memMb.toInt - 512}m")
+        .config("spark.executor.extraClassPath", cp)
+    }
+    b.getOrCreate()
+  }
 
   /** End-to-end pipeline: envelope -> classify -> route -> all four module
     * aggregates + assembly, forced through the noop sink. */
   def pipelineOnce(spark: SparkSession, input: DataFrame): Unit = {
-    val routed = TfPipeline.routed(TfPipeline.envelope(input)).persist()
+    val noCache = sys.env.get("SPARK_GRAFT_NO_CACHE").contains("1")
+    val routed0 = TfPipeline.routed(TfPipeline.envelope(input))
+    val routed = if (noCache) routed0 else routed0.persist()
     try {
       val dim = TfPipeline.subjectDim(routed)
       force(TfPipeline.perPlayer(routed, dim))
       force(TfPipeline.chat(routed, dim))
-    } finally routed.unpersist()
+    } finally if (!noCache) { routed.unpersist(); () }
   }
 
   def main(args: Array[String]): Unit = {

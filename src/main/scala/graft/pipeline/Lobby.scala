@@ -64,7 +64,7 @@ object Lobby {
   def lobbySettings(routedDf: DataFrame): DataFrame = {
     val says = routedDf
       .filter(col("event_type") === "say" && shiftrightunsigned(col("sid"), 32) === 6)
-      .select(col("doc_id"), col("line_no"), element_at(col("pm"), "_text").as("msg"))
+      .select(col("doc_id"), col("line_no"), col("text").as("msg"))
 
     val header = col("msg").startsWith("TF2Center Lobby #") && locate(" |", col("msg")) > 0
     val headerId = substring(col("msg"), lit(18), locate(" |", col("msg")) - lit(18))

@@ -158,8 +158,29 @@ object TfPipeline {
           lit(false)
         )
       )
+      // flatten the typed fields the modules need into primitive columns:
+      // columnar-cache-friendly (a cached MapType column deserializes
+      // generically and every element_at re-scans the map)
+      .withColumn("text", element_at(col("pm"), "_text"))
+      .withColumn(
+        "target_raw",
+        coalesce(element_at(col("pm"), "_target"), element_at(col("pm"), "against"))
+      )
+      .withColumn("target_kind", element_at(col("pm"), "_target_kind"))
+      .withColumn("healing", clamp_u32(element_at(col("pm"), "healing")))
+      .withColumn("dmg", clamp_i64(element_at(col("pm"), "damage")))
+      .withColumn("charge", coalesce(clamp_u32(element_at(col("pm"), "ubercharge")), lit(0L)))
+      .withColumn("duration", coalesce(parse_f32(element_at(col("pm"), "duration")), lit(0f)))
+      .withColumn("f_time", coalesce(parse_f32(element_at(col("pm"), "time")), lit(0f)))
+      .withColumn(
+        "class_str",
+        class_normalize(
+          when(col("event_type") === "spawned", element_at(col("pm"), "as"))
+            .when(col("event_type") === "role_change", element_at(col("pm"), "to"))
+        )
+      )
       .drop("handled", "typed_err", "drop", "hard_error", "consumes_next", "status",
-        "params", "date")
+        "params", "date", "pm")
   }
 
   /** All valid-envelope rows (any event type) with sid -- the full routing
@@ -233,7 +254,7 @@ object TfPipeline {
         col("sid"),
         col("line_no"),
         col("time"),
-        element_at(col("pm"), "_text").as("message"),
+        col("text").as("message"),
         when(col("event_type") === "say", "All").otherwise("Team").as("chat_type")
       )
     says
@@ -255,9 +276,9 @@ object TfPipeline {
   def healSpread(routedDf: DataFrame): DataFrame = {
     routedDf
       .filter(col("event_type") === "healed")
-      .withColumn("target_sid", against_subject_id(element_at(col("pm"), "against")))
+      .withColumn("target_sid", against_subject_id(col("target_raw")))
       .filter(shiftrightunsigned(col("target_sid"), 32) === 1)
-      .withColumn("amount", coalesce(clamp_u32(element_at(col("pm"), "healing")), lit(0L)))
+      .withColumn("amount", coalesce(col("healing"), lit(0L)))
       .groupBy(col("doc_id"), col("sid"), (col("target_sid").bitwiseAND(lit(0xffffffffL))).as("target_account"))
       .agg(pmod(sum(col("amount")), lit(4294967296L)).as("healing"))
       .groupBy(col("doc_id"), col("sid"))
@@ -275,9 +296,6 @@ object TfPipeline {
     val ty = col("event_type")
     val frame = routedDf
       .filter(ty.isInCollection(MedicTypes))
-      .withColumn("f_time", coalesce(parse_f32(element_at(col("pm"), "time")), lit(0f)))
-      .withColumn("duration", coalesce(parse_f32(element_at(col("pm"), "duration")), lit(0f)))
-      .withColumn("charge", coalesce(clamp_u32(element_at(col("pm"), "ubercharge")), lit(0L)))
       // last FirstHeal before this row (value + line), last ChargeReady line,
       // last ChargeEnded time: the sequential state, as ordered windows
       .withColumn("fh_time", last(when(ty === "first_heal", col("time")), ignoreNulls = true).over(wPrev))
@@ -349,15 +367,13 @@ object TfPipeline {
     )
 
     // ---- state rows: class changes + (active) kill-target entry creation
-    val classKey = when(ty === "spawned", element_at(col("pm"), "as"))
-      .otherwise(element_at(col("pm"), "to"))
     val spawnState = base
-      .filter(ty.isin("spawned", "role_change") && classKey.isNotNull)
+      .filter(ty.isin("spawned", "role_change") && col("class_str").isNotNull)
       .select(
         col("doc_id"),
         col("sid").as("key"),
         col("line_no"),
-        class_normalize(classKey).as("cls"),
+        col("class_str").as("cls"),
         lit(1).as("is_state"),
         lit(null.asInstanceOf[String]).as("role"),
         lit(null.asInstanceOf[Long]).as("other"),
@@ -365,9 +381,9 @@ object TfPipeline {
       )
 
     val killTargetSid =
-      when(element_at(col("pm"), "_target_kind") === "player", player_subject_id(element_at(col("pm"), "_target")))
-        .when(element_at(col("pm"), "_target_kind") === "console", lit(graft.expr.Steam.K_CONSOLE << 32))
-        .when(element_at(col("pm"), "_target_kind") === "team", lit((graft.expr.Steam.K_TEAM << 32) | 2L))
+      when(col("target_kind") === "player", player_subject_id(col("target_raw")))
+        .when(col("target_kind") === "console", lit(graft.expr.Steam.K_CONSOLE << 32))
+        .when(col("target_kind") === "team", lit((graft.expr.Steam.K_TEAM << 32) | 2L))
         .otherwise(lit(graft.expr.Steam.K_SYSTEM << 32))
 
     val kills = base.filter(ty === "kill" && col("active")).withColumn("tsid", killTargetSid)
@@ -400,28 +416,26 @@ object TfPipeline {
     val killAttackerC = consumer(kills, col("sid"), "ka", col("tsid"), lit(null.asInstanceOf[Long]))
     val assistC = consumer(
       base.filter(ty === "kill_assist" && col("active")),
-      against_subject_id(element_at(col("pm"), "_target")),
+      against_subject_id(col("target_raw")),
       "at",
       col("sid"),
       lit(null.asInstanceOf[Long])
     )
-    val dmgVal = clamp_i64(element_at(col("pm"), "damage"))
     // a missing `against` defaults the target to System("unknown") in the
     // reference (player.rs:19-21 default attr); its class resolves only if a
     // kill ever created a System entry
     val damageTarget = coalesce(
-      against_subject_id(element_at(col("pm"), "against")),
+      against_subject_id(col("target_raw")),
       lit(graft.expr.Steam.K_SYSTEM << 32)
     )
     val damageC = consumer(
       base
         .filter(ty === "damage" && col("active"))
-        .withColumn("dv", dmgVal)
-        .filter(col("dv") > 0 && col("dv") < 1500),
+        .filter(col("dmg") > 0 && col("dmg") < 1500),
       damageTarget,
       "dt",
       col("sid"),
-      col("dv")
+      col("dmg")
     )
 
     val union = spawnState
