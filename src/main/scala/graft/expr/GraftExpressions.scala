@@ -21,7 +21,8 @@ object GraftExpressions {
       StructField("kind", ByteType, nullable = true),
       StructField("subject", StringType),
       StructField("event_type", StringType),
-      StructField("params", StringType)
+      StructField("params", StringType),
+      StructField("ts", LongType)
     )
   )
 

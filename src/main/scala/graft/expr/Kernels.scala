@@ -31,10 +31,10 @@ object Kernels {
   // ---- envelope ----------------------------------------------------------
 
   /** struct(status tinyint, date string, kind tinyint, subject string,
-    * event_type string, params string) */
+    * event_type string, params string, ts long) */
   def parseRawLine(line: UTF8String): InternalRow = {
     val r = LineParser.parse(line.toString)
-    val out = new GenericInternalRow(6)
+    val out = new GenericInternalRow(7)
     out.update(0, r.status)
     if (r.status == LineParser.OK) {
       out.update(1, UTF8String.fromString(r.date))
@@ -42,6 +42,8 @@ object Kernels {
       out.update(3, if (r.subject == null) null else UTF8String.fromString(r.subject))
       out.update(4, UTF8String.fromString(r.eventType))
       out.update(5, UTF8String.fromString(r.params))
+      val ep = LineParser.dateEpoch(r.date)
+      if (ep != Long.MinValue) out.setLong(6, ep)
     } else {
       out.update(4, UTF8String.fromString("invalid"))
     }

@@ -444,6 +444,34 @@ object LineParser {
     catch { case _: NumberFormatException => null }
   }
 
+  /** Epoch seconds (UTC-naive) from the fixed 21-char date field
+    * `MM/DD/YYYY - HH:MM:SS`; Long.MinValue when malformed (the reference
+    * panics on a malformed date of a handled event -- surfaced as a hard
+    * error by the classifier). */
+  def dateEpoch(date: String): Long = {
+    if (date == null || date.length < 21) return Long.MinValue
+    var i = 0
+    // digit positions: 0,1 / 3,4 / 6..9 / 13,14 / 16,17 / 19,20
+    def d2(a: Int): Int = {
+      val c1 = date.charAt(a); val c2 = date.charAt(a + 1)
+      if (c1 < '0' || c1 > '9' || c2 < '0' || c2 > '9') return -1
+      (c1 - '0') * 10 + (c2 - '0')
+    }
+    val mo = d2(0); val dy = d2(3); val y1 = d2(6); val y2 = d2(8)
+    val h = d2(13); val mi = d2(16); val se = d2(19)
+    if (mo < 1 || mo > 12 || dy < 1 || dy > 31 || y1 < 0 || y2 < 0 ||
+      h < 0 || h > 23 || mi < 0 || mi > 59 || se < 0 || se > 59) return Long.MinValue
+    val y = y1 * 100 + y2
+    // days-from-civil (Howard Hinnant), proleptic Gregorian
+    val yy = if (mo <= 2) y - 1 else y
+    val era = (if (yy >= 0) yy else yy - 399) / 400
+    val yoe = yy - era * 400
+    val doy = (153 * (if (mo > 2) mo - 3 else mo + 9) + 2) / 5 + dy - 1
+    val doe = yoe * 365 + yoe / 4 - yoe / 100 + doy
+    val days = era * 146097L + doe - 719468L
+    days * 86400L + h * 3600L + mi * 60L + se
+  }
+
   /** Typed-field validation for a handled event: true when the reference's
     * Event::parse would error on a present-but-malformed optional field
     * (`event.field = parse_field(value)?` propagation). Last-wins lookup over

@@ -70,11 +70,8 @@ object TfPipeline {
         col("r.kind").as("kind"),
         col("r.subject").as("subject"),
         col("r.event_type").as("event_type"),
-        col("r.params").as("params")
-      )
-      .withColumn(
-        "ts",
-        unix_timestamp(to_timestamp(col("date"), "MM/dd/yyyy - HH:mm:ss"))
+        col("r.params").as("params"),
+        col("r.ts").as("ts") // epoch seconds computed inside the parse kernel
       )
   }
 
@@ -124,6 +121,7 @@ object TfPipeline {
       .withColumn(
         "hard_error",
         (col("status") === 2) || // envelope Malformed
+        (col("handled") && !col("typed_err") && col("ts").isNull) || // date panic
         (consumesNext && !(col("next_status") === 0 && col("next_ts") - col("ts") > 60))
       )
       .withColumn(

@@ -41,7 +41,7 @@ object StreamingPipeline {
         col("r.kind").as("kind"),
         col("r.subject").as("subject"),
         col("r.event_type").as("event_type"),
-        to_timestamp(col("r.date"), "MM/dd/yyyy - HH:mm:ss").as("ts")
+        timestamp_seconds(col("r.ts")).as("ts")
       )
 
   /** Windowed routed counts: 5-minute event-time windows per event type with
