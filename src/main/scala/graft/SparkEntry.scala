@@ -69,6 +69,14 @@ object SparkEntry {
         .orderBy("event_type")),
     "tf_subject_dim" -> ((s, d) => TfPipeline.subjectDim(routedOf(s, d)).orderBy("doc_id", "sid")),
     "tf_lobby" -> ((s, d) => graft.pipeline.Lobby.lobbySettings(routedOf(s, d))),
+    "tf_typed_kills" -> ((s, d) =>
+      graft.pipeline.TypedEvents
+        .view(TfPipeline.envelope(tfInput(s, d)), "kill")
+        .orderBy("doc_id", "line_no")),
+    "tf_captures" -> ((s, d) =>
+      graft.pipeline.TypedEvents
+        .capturePlayers(TfPipeline.envelope(tfInput(s, d)))
+        .orderBy("doc_id", "line_no")),
     "tf_multimodal_features" -> ((s, d) =>
       Multimodal
         .extractFeatures(s, Multimodal.mediaFromDocuments(T(s, d, "documents")), 8)

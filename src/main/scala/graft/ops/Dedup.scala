@@ -31,12 +31,15 @@ object Dedup {
       )
 
   /** k MinHash values over the distinct shingle set, salt-indexed so every
-    * hash function is independent: sig_i = min over s of h(i || s). */
-  def minhashSignature(shingleCol: Column, k: Int): Seq[Column] =
+    * hash function is independent: sig_i = min over s of h(i || s).
+    * `fast=true` uses native xxhash64 (codegen'd, ~20x cheaper); the default
+    * md5-hex hash is reproducible in DuckDB for the oracle twins. */
+  def minhashSignature(shingleCol: Column, k: Int, fast: Boolean = false): Seq[Column] =
     (0 until k).map { i =>
-      array_min(
-        transform(array_distinct(shingleCol), s => stableHash60(concat(lit(i + ":"), s)))
-      ).as(s"sig_$i")
+      val h: Column => Column =
+        if (fast) s => xxhash64(lit(i), s)
+        else s => stableHash60(concat(lit(i + ":"), s))
+      array_min(transform(array_distinct(shingleCol), h)).as(s"sig_$i")
     }
 
   /** MinHash LSH candidate pairs: signatures banded (bandSize rows/band);
@@ -50,7 +53,7 @@ object Dedup {
       k: Int,
       bandSize: Int
   ): DataFrame = {
-    val sigs = minhashSignature(shingleCol, k)
+    val sigs = minhashSignature(shingleCol, k, fast = true)
     val nBands = k / bandSize
     val sigDf = df.select(id.as("id") +: sigs: _*)
     val banded = sigDf.select(
@@ -72,7 +75,8 @@ object Dedup {
   /** 60-bit SimHash over the word multiset: per bit, sum +-1 weighted by
     * word frequency; bit set where the sum is positive. */
   def simhash60(words: Column): Column = {
-    val hashes = transform(words, w => stableHash60(w))
+    // native hash; bits of xxhash64 masked to 60 (sign-safe shifts below)
+    val hashes = transform(words, w => xxhash64(w).bitwiseAND(lit(0xfffffffffffffffL)))
     (0 until 60)
       .map { bit =>
         val votes = aggregate(
