@@ -19,13 +19,15 @@ object Bench {
     * rule's N vs 4N executors (per-executor heaps/GC like a real cluster). */
   def session(cpus: String): SparkSession = {
     val execs = sys.env.get("SPARK_GRAFT_EXECUTORS").map(_.toInt)
-    val master = execs match {
+    // spark-submit compatibility: an externally provided master (e.g.
+    // --master on a real cluster) wins over the local default
+    val master = sys.props.get("spark.master").getOrElse(execs match {
       case Some(k) =>
         val coresPer = math.max(1, cpus.toInt / k)
         val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096")
         s"local-cluster[$k,$coresPer,$memMb]"
       case None => s"local[$cpus]"
-    }
+    })
     val b = SparkSession
       .builder()
       .master(master)
