@@ -39,7 +39,9 @@ object Dedup {
       val h: Column => Column =
         if (fast) s => xxhash64(lit(i), s)
         else s => stableHash60(concat(lit(i + ":"), s))
-      array_min(transform(array_distinct(shingleCol), h)).as(s"sig_$i")
+      // no array_distinct: min() is idempotent under duplicates (the DuckDB
+      // twin keeps list_distinct -- same value, so hashes still compare)
+      array_min(transform(shingleCol, h)).as(s"sig_$i")
     }
 
   /** MinHash LSH candidate pairs: signatures banded (bandSize rows/band);
