@@ -30,6 +30,14 @@ class GoldenPipelineSpec extends AnyFunSuite {
       math.abs(a - b) <= 1e-3f * math.max(1f, math.abs(b))
 
   test("pipeline matches reference simulator on synthetic logs") {
+    runGolden(Seed, NDocs, Lines)
+  }
+
+  test("pipeline matches simulator on a second seed/size (regression breadth)") {
+    runGolden(7L, 4, 350)
+  }
+
+  private def runGolden(Seed: Long, NDocs: Int, Lines: Int): Unit = {
     spark.sparkContext.setLogLevel("WARN")
     val input = LogGen.generate(spark, NDocs, Lines, Seed).toDF()
     val env = TfPipeline.envelope(input)
