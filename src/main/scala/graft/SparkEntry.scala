@@ -269,6 +269,27 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(sum(col("c")).cast("long").as("n"))
     }),
+    "q_union_distinct" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"))
+        .unionByName(
+          ev.filter(col("event_type") === "view").select(col("user_id"), col("event_id"))
+        )
+        .distinct()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_click_view"))
+    }),
+    "q_running_sum" -> ((s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      T(s, d, "events")
+        .withColumn("running_cents", sum(floor(col("value") * 100 + 0.5)).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("running_cents")).cast("long").as("max_running_cents"))
+    }),
     "q_binary_meta" -> ((s, d) =>
       Multimodal
         .mediaFromDocuments(T(s, d, "documents"))
@@ -465,6 +486,20 @@ object SparkEntry {
         |SELECT doc_id, wordset_fp, roll[1] AS rolling_fp FROM ws""".stripMargin,
     "q_skew_salted" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    "q_union_distinct" ->
+      """SELECT user_id, count(*) AS n_click_view FROM (
+        |  SELECT user_id, event_id FROM events WHERE event_type = 'click'
+        |  UNION
+        |  SELECT user_id, event_id FROM events WHERE event_type = 'view'
+        |) GROUP BY 1""".stripMargin,
+    "q_running_sum" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    sum(floor(value * 100 + 0.5)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |  FROM events)
+        |SELECT user_id, CAST(max(running_cents) AS BIGINT) AS max_running_cents
+        |FROM r GROUP BY 1""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
