@@ -47,54 +47,174 @@ object SparkEntry {
   // ---- documents helpers (shared Spark/SQL shapes) ------------------------
   private def words(c: org.apache.spark.sql.Column) = split(c, " ")
 
+  /** Canonicalize f32 for hash-compare: non-finite -> sentinel (NaN and Inf
+    * hash unreliably through the driver's pandas comparator). */
+  private def fcanon(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isnan(c), lit(-999999f))
+      .when(c === lit(Float.PositiveInfinity), lit(999999f))
+      .otherwise(c)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ================= TF pipeline (rows-only checks; golden-tested) ======
+    // ====== TF pipeline: flattened driver-comparable outputs; oracles are
+    // ====== ReferenceSim expectation tables written by Verify (the sim is
+    // ====== proven bit-exact against the reference's real-log snapshots)
     "tf_per_player" -> ((s, d) => {
-      val r = routedOf(s, d); TfPipeline.perPlayer(r, TfPipeline.subjectDim(r))
+      val r = routedOf(s, d)
+      val pp = TfPipeline.perPlayer(r, TfPipeline.subjectDim(r))
+      val arrays = Seq("kills" -> "k", "deaths" -> "d", "assists" -> "a", "damage" -> "g").flatMap {
+        case (src, p) => (0 until 10).map(i => element_at(col(src), i + 1).as(s"$p$i"))
+      }
+      pp.select(
+        Seq(
+          col("doc_id"),
+          col("steam3"),
+          col("steam64"),
+          col("name"),
+          array_join(
+            transform(
+              map_entries(col("heals")),
+              e => concat(e.getField("key"), lit(":"), e.getField("value"))
+            ),
+            ";"
+          ).as("heals"),
+          col("medic.advantages_lost").as("m_advantages_lost"),
+          fcanon(col("medic.biggest_advantage_lost")).as("m_biggest_advantage_lost"),
+          col("medic.near_full_charge_death").as("m_near_full_charge_death"),
+          col("medic.deaths_after_uber").as("m_deaths_after_uber"),
+          fcanon(col("medic.avg_time_before_healing")).as("m_avg_time_before_healing"),
+          fcanon(col("medic.avg_time_to_build")).as("m_avg_time_to_build"),
+          fcanon(col("medic.avg_time_to_use")).as("m_avg_time_to_use"),
+          fcanon(col("medic.avg_uber_length")).as("m_avg_uber_length"),
+          col("medic.charge_count").as("m_charge_count"),
+          col("medic.drops").as("m_drops")
+        ) ++ arrays: _*
+      )
     }),
     "tf_chat" -> ((s, d) => {
-      val r = routedOf(s, d); TfPipeline.chat(r, TfPipeline.subjectDim(r))
+      val r = routedOf(s, d)
+      TfPipeline
+        .chatMessages(r, TfPipeline.subjectDim(r))
+        .select(
+          col("doc_id"),
+          col("line_no"),
+          col("msg.time").as("time"),
+          col("msg.name").as("name"),
+          col("msg.steam_id").as("steam_id"),
+          col("msg.message").as("message"),
+          col("msg.chat_type").as("chat_type")
+        )
     }),
     "tf_route_counts" -> ((s, d) =>
       TfPipeline
         .routable(TfPipeline.envelope(tfInput(s, d)))
         .groupBy("route")
-        .count()
-        .orderBy("route")),
+        .agg(count(lit(1)).as("n"))),
     "tf_envelope" -> ((s, d) =>
       TfPipeline
         .envelope(tfInput(s, d))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(size(col("tokens"))).as("n_tokens"))
-        .orderBy("event_type")),
-    "tf_subject_dim" -> ((s, d) => TfPipeline.subjectDim(routedOf(s, d)).orderBy("doc_id", "sid")),
-    "tf_lobby" -> ((s, d) => graft.pipeline.Lobby.lobbySettings(routedOf(s, d))),
+        .groupBy(
+          when(col("status") === 0, col("event_type"))
+            .otherwise(concat(lit("__status_"), col("status")))
+            .as("event_type")
+        )
+        .agg(count(lit(1)).as("n"), sum(size(col("tokens"))).cast("long").as("n_tokens"))),
+    "tf_subject_dim" -> ((s, d) =>
+      TfPipeline
+        .subjectDim(routedOf(s, d))
+        .select(
+          col("doc_id"),
+          col("sid"),
+          col("data_kind").cast("long").as("data_kind"),
+          col("name"),
+          coalesce(col("steam64_text"), lit(-1L)).as("steam64"),
+          col("first_line")
+        )),
+    "tf_lobby" -> ((s, d) => {
+      val lb = graft.pipeline.Lobby.lobbySettings(routedOf(s, d))
+      val st = col("settings")
+      def b(f: String) = coalesce(st.getField(f).cast("long"), lit(-1L)).as(f)
+      lb.select(
+        col("doc_id"),
+        col("ok").cast("long").as("ok"),
+        coalesce(col("error_kind"), lit("")).as("error_kind"),
+        coalesce(st.getField("id"), lit(-1L)).as("id"),
+        coalesce(st.getField("leader").getField("name"), lit("")).as("leader_name"),
+        coalesce(st.getField("leader").getField("steam64"), lit(-1L)).as("leader_steam64"),
+        coalesce(st.getField("map"), lit("")).as("map"),
+        coalesce(st.getField("game_type"), lit("")).as("game_type"),
+        coalesce(st.getField("location"), lit("")).as("location"),
+        b("advanced"),
+        b("region_lock"),
+        b("allow_offclassing"),
+        b("balancing"),
+        coalesce(st.getField("restriction"), lit("")).as("restriction"),
+        b("mumble_required"),
+        coalesce(st.getField("date").cast("long"), lit(-1L)).as("date_epoch"),
+        coalesce(st.getField("server"), lit("")).as("server")
+      )
+    }),
     "tf_typed_kills" -> ((s, d) =>
       graft.pipeline.TypedEvents
         .view(TfPipeline.envelope(tfInput(s, d)), "kill")
-        .orderBy("doc_id", "line_no")),
+        .select(
+          col("doc_id"),
+          col("line_no"),
+          col("kind").cast("long").as("kind"),
+          col("subject"),
+          coalesce(col("target"), lit("")).as("target"),
+          coalesce(col("target_kind"), lit("")).as("target_kind"),
+          coalesce(col("weapon"), lit("")).as("weapon"),
+          coalesce(array_join(col("attacker_position"), " "), lit("")).as("attacker_position"),
+          coalesce(array_join(col("victim_position"), " "), lit("")).as("victim_position"),
+          col("parse_error").cast("long").as("parse_error")
+        )),
     "tf_captures" -> ((s, d) =>
       graft.pipeline.TypedEvents
         .capturePlayers(TfPipeline.envelope(tfInput(s, d)))
-        .orderBy("doc_id", "line_no")),
+        .select(
+          col("doc_id"),
+          col("line_no"),
+          coalesce(col("cp").cast("long"), lit(-1L)).as("cp"),
+          coalesce(col("cp_name"), lit("")).as("cp_name"),
+          coalesce(col("num_cappers").cast("long"), lit(-1L)).as("num_cappers"),
+          posexplode(col("players")).as(Seq("idx", "p"))
+        )
+        .select(
+          col("doc_id"),
+          col("line_no"),
+          col("cp"),
+          col("cp_name"),
+          col("num_cappers"),
+          col("idx").cast("long").as("idx"),
+          col("p.subject").as("subject"),
+          array_join(col("p.position"), " ").as("position")
+        )),
     "tf_multimodal_features" -> ((s, d) =>
       Multimodal
         .extractFeatures(s, Multimodal.mediaFromDocuments(T(s, d, "documents")), 8)
         .toDF()
-        .orderBy("media_id")),
+        .select(
+          Seq(
+            col("media_id"),
+            col("kind"),
+            col("n_bytes"),
+            col("byte_mean_x1000"),
+            col("frames_sampled").cast("long").as("frames")
+          ) ++ (0 until 16).map(i => element_at(col("histogram16"), i + 1).as(s"h$i")): _*
+        )),
     "tf_simhash" -> ((s, d) =>
       T(s, d, "documents").select(
         col("doc_id"),
-        Dedup.simhash60(words(col("text"))).as("simhash")
+        Dedup.simhash60(words(col("text")), fast = false).as("simhash")
       )),
     "tf_lsh_candidates" -> ((s, d) => {
       val docs = T(s, d, "documents")
         .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
-      Dedup.lshCandidates(docs, col("doc_id"), col("sh"), 8, 2).orderBy("id_a", "id_b")
+      Dedup.lshCandidates(docs, col("doc_id"), col("sh"), 8, 2, fast = false)
     }),
     "tf_ann_lsh" -> ((s, d) => {
       val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshTopK(e, 64, 4, 3, 7L).orderBy("qid", "rank")
+      Similarity.lshTopK(e, 64, 6, 3, tables = 4, maxBucket = 50)
     }),
 
     // ================= SQL twins with DuckDB oracles ======================
@@ -170,6 +290,15 @@ object SparkEntry {
           floor(col("value") * 100 + 0.5).cast("long").as("value_cents")
         )
     }),
+    "q_max_by" -> ((s, d) =>
+      // A14 top-1 exemplar (custom_handler.rs HighestDamage): arg-max with a
+      // deterministic (value, id) tie-break
+      T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("event_id"), struct(col("value"), col("event_id"))).as("top_event_id"),
+          floor(max(col("value")) * 100 + 0.5).cast("long").as("top_value_cents")
+        )),
     "q_sessionize" -> ((s, d) => {
       val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val ev = T(s, d, "events")
@@ -227,7 +356,7 @@ object SparkEntry {
       val docs = T(s, d, "documents")
         .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
       Dedup
-        .ngramJaccardPairs(docs, col("doc_id"), col("sh"))
+        .ngramJaccardPairs(docs, col("doc_id"), col("sh"), maxDf = 64)
         .filter(col("jaccard_x10000") >= 500)
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard_x10000"))
     }),
@@ -300,7 +429,117 @@ object SparkEntry {
         ))
   )
 
+  /** Oracle twins for the tf_* pipeline queries: `SELECT *` over the
+    * sequential-sim expectation parquet written by [[Verify]] (placeholder
+    * `__EXP__` is substituted with the absolute expectation dir at dump
+    * time). The sim is validated bit-exactly against the reference's own
+    * committed snapshots (RealLogGoldenSpec), so these rows are
+    * reference-anchored, not self-referential. */
+  private def expOracle(name: String): String =
+    s"SELECT * FROM read_parquet('__EXP__/$name/*.parquet')"
+
   def oracleSql: Map[String, String] = Map(
+    "tf_per_player" -> expOracle("tf_per_player"),
+    "tf_chat" -> expOracle("tf_chat"),
+    "tf_route_counts" -> expOracle("tf_route_counts"),
+    "tf_envelope" -> expOracle("tf_envelope"),
+    "tf_subject_dim" -> expOracle("tf_subject_dim"),
+    "tf_lobby" -> expOracle("tf_lobby"),
+    "tf_typed_kills" -> expOracle("tf_typed_kills"),
+    "tf_captures" -> expOracle("tf_captures"),
+    "tf_multimodal_features" -> {
+      val hist = (0 until 16)
+        .map(j => s"  CAST(len(list_filter(bytes, b -> b // 16 = $j)) AS BIGINT) AS h$j")
+        .mkString(",\n")
+      s"""WITH ch AS (
+         |  SELECT doc_id, length(text) AS n,
+         |    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS bytes
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(n AS BIGINT) AS n_bytes,
+         |  CAST(CASE WHEN n = 0 THEN 0 ELSE list_sum(bytes) * 1000 // n END AS BIGINT) AS byte_mean_x1000,
+         |  CAST(CASE (doc_id % 3) WHEN 2 THEN greatest(1, n // 4096)
+         |       WHEN 1 THEN greatest(1, n // 1024) ELSE 1 END AS BIGINT) AS frames,
+         |$hist
+         |FROM ch""".stripMargin
+    },
+    "tf_simhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |h AS (
+        |  SELECT doc_id, unnest(list_transform(words, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS hv
+        |  FROM w),
+        |v AS (
+        |  SELECT doc_id, bit, sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM h, range(60) t(bit) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+        |FROM v GROUP BY 1""".stripMargin,
+    "tf_lsh_candidates" -> {
+      val sigs = (0 until 8)
+        .map { i =>
+          s"""    list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT)) AS sig_$i"""
+        }
+        .mkString(",\n")
+      val bandKeys = (0 until 4)
+        .map(b => s"WHEN $b THEN sig_${2 * b}::VARCHAR || '|' || sig_${2 * b + 1}::VARCHAR")
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) < 3 THEN []
+         |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+         |  FROM d),
+         |sig AS (
+         |  SELECT doc_id,
+         |$sigs
+         |  FROM sh WHERE len(sh) > 0),
+         |b AS (
+         |  SELECT doc_id, band, CASE band $bandKeys END AS key
+         |  FROM sig, range(4) t(band))
+         |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id""".stripMargin
+    },
+    "tf_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS q
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT t.t, b.b,
+        |    list_transform(range(64), i -> (('0x' || substr(md5(t.t || ':' || b.b || ':' || i), 1, 15))::BIGINT % 2001) - 1000) AS w
+        |  FROM range(4) t(t), range(6) b(b)),
+        |proj AS (
+        |  SELECT e.id, p.t, p.b,
+        |    list_sum(list_transform(range(64), i -> e.q[i+1] * p.w[i+1])) AS pr
+        |  FROM e, planes p),
+        |buck AS (
+        |  SELECT id, t, sum(CASE WHEN pr >= 0 THEN 1::BIGINT << b ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |bounded AS (
+        |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY t, bucket) AS bsize FROM buck)
+        |  WHERE bsize <= 50),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS qid, r.id AS cid
+        |  FROM bounded l JOIN bounded r ON l.t = r.t AND l.bucket = r.bucket AND l.id <> r.id),
+        |sc AS (
+        |  SELECT qid, cid,
+        |    CAST(floor(list_dot_product(a.v, c.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) * 10000) AS BIGINT) AS sim_x10000
+        |  FROM cand JOIN e a ON qid = a.id JOIN e c ON cid = c.id),
+        |r AS (
+        |  SELECT qid, cid, sim_x10000,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim_x10000 DESC, cid ASC) AS rank
+        |  FROM sc)
+        |SELECT qid, cid, sim_x10000, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_max_by" ->
+      """WITH w AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, event_id AS top_event_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS top_value_cents
+        |FROM w WHERE rn = 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -397,9 +636,11 @@ object SparkEntry {
         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
         |  FROM d WHERE len(w) >= 3),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |joinable AS (
+        |  SELECT doc_id, s FROM sh QUALIFY count(*) OVER (PARTITION BY s) <= 64),
         |inter AS (
         |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
-        |  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+        |  FROM joinable l JOIN joinable r ON l.s = r.s AND l.doc_id < r.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, inter,
         |  sa.n + sb.n - inter AS uni,

@@ -1,9 +1,126 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.loggen.LogGen
+import graft.sim.{ReferenceSim, SimExpectations}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, SparkSession}
+
 import java.nio.file.{Files, Paths}
-/** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+import scala.collection.mutable
+
+/** Driver-run correctness dump: each SparkEntry.queries result -> parquet,
+  * plus oracle_sql.json for the driver's DuckDB compare.
+  *
+  * For the tf_* pipeline queries (whose input is the deterministic synthetic
+  * tokenized table, not a parquet the oracle can read), this also writes
+  * EXPECTATION tables computed by the sequential ReferenceSim -- the
+  * simulator proven bit-exact against the reference's committed real-log
+  * snapshots -- and the oracle SQL simply SELECTs them, giving those queries
+  * a full rows+schema+hash driver check instead of rows-only.
+  */
 object Verify {
+
+  private def canonF(v: Float): Float =
+    if (v.isNaN) -999999f else if (v == Float.PositiveInfinity) 999999f else v
+
+  /** Write all tf_* expectation tables for the sf under `expDir`. */
+  def writeExpectations(spark: SparkSession, sfDir: String, expDir: String): Unit = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(2, (sf * 2000).toInt)
+    val seed = 42L
+    val linesPerDoc = 500
+
+    val routeAcc = mutable.Map.empty[String, Long]
+    val envAcc = mutable.Map.empty[String, (Long, Long)]
+    val kills = Vector.newBuilder[SimExpectations.KillRow]
+    val caps = Vector.newBuilder[SimExpectations.CaptureRow]
+    val lobbies = Vector.newBuilder[SimExpectations.LobbyRow]
+    val dims = Vector.newBuilder[Row]
+    val chats = Vector.newBuilder[Row]
+    val players = Vector.newBuilder[Row]
+
+    for (docId <- 0L until nDocs.toLong) {
+      val docKey = f"log-$docId%06d"
+      val lines = LogGen.docLines(seed, docId, linesPerDoc)
+      SimExpectations.routeCounts(lines, routeAcc)
+      SimExpectations.envelopeCounts(lines, envAcc)
+      kills ++= SimExpectations.typedKills(docKey, lines)
+      caps ++= SimExpectations.captures(docKey, lines)
+      lobbies ++= SimExpectations.lobby(docKey, lines)
+
+      val sim = ReferenceSim.run(lines)
+      require(!sim.hardError, s"$docKey: sim hard error (generator bug)")
+      sim.subjects.foreach { s =>
+        dims += Row(docKey, s.sid, s.dataKind.toLong, s.name,
+          if (s.dataKind == 1) s.steam64 else -1L, s.firstLine)
+      }
+      sim.chat.foreach { c =>
+        chats += Row(docKey, c.lineNo, c.time, c.name, c.steam64, c.message, c.chatType)
+      }
+      val nameBySid = sim.subjects.map(s => s.sid -> s.name).toMap
+      sim.perPlayer.foreach { p =>
+        val sid = (graft.expr.Steam.K_PLAYER << 32) | p.account
+        val heals = p.heals.map { case (s3, v) => s"$s3:$v" }.mkString(";")
+        val m = p.medicEngine
+        players += Row(
+          Seq[Any](
+            docKey, p.steam3, p.steam64, nameBySid.getOrElse(sid, ""), heals,
+            m.advantagesLost, canonF(m.biggestAdvantageLost), m.nearFullChargeDeath,
+            m.deathsAfterUber, canonF(m.avgTimeBeforeHealing), canonF(m.avgTimeToBuild),
+            canonF(m.avgTimeToUse), canonF(m.avgUberLength), m.chargeCount, m.drops
+          ) ++ p.kills ++ p.deaths ++ p.assists ++ p.damage: _*
+        )
+      }
+    }
+
+    import spark.implicits._
+    def save(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$expDir/$name")
+
+    save(routeAcc.toSeq.toDF("route", "n"), "tf_route_counts")
+    save(
+      envAcc.toSeq.map { case (k, (n, t)) => (k, n, t) }.toDF("event_type", "n", "n_tokens"),
+      "tf_envelope"
+    )
+    save(spark.createDataset(kills.result()).toDF(), "tf_typed_kills")
+    save(spark.createDataset(caps.result()).toDF(), "tf_captures")
+    save(spark.createDataset(lobbies.result()).toDF(), "tf_lobby")
+
+    val dimSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("sid", LongType),
+      StructField("data_kind", LongType), StructField("name", StringType),
+      StructField("steam64", LongType), StructField("first_line", LongType)
+    ))
+    save(spark.createDataFrame(spark.sparkContext.parallelize(dims.result(), 1), dimSchema), "tf_subject_dim")
+
+    val chatSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("line_no", LongType),
+      StructField("time", LongType), StructField("name", StringType),
+      StructField("steam_id", LongType), StructField("message", StringType),
+      StructField("chat_type", StringType)
+    ))
+    save(spark.createDataFrame(spark.sparkContext.parallelize(chats.result(), 1), chatSchema), "tf_chat")
+
+    val ppSchema = StructType(
+      Seq(
+        StructField("doc_id", StringType), StructField("steam3", StringType),
+        StructField("steam64", LongType), StructField("name", StringType),
+        StructField("heals", StringType),
+        StructField("m_advantages_lost", LongType),
+        StructField("m_biggest_advantage_lost", FloatType),
+        StructField("m_near_full_charge_death", LongType),
+        StructField("m_deaths_after_uber", LongType),
+        StructField("m_avg_time_before_healing", FloatType),
+        StructField("m_avg_time_to_build", FloatType),
+        StructField("m_avg_time_to_use", FloatType),
+        StructField("m_avg_uber_length", FloatType),
+        StructField("m_charge_count", LongType),
+        StructField("m_drops", LongType)
+      ) ++ Seq("k", "d", "a", "g").flatMap(p => (0 until 10).map(i => StructField(s"$p$i", LongType)))
+    )
+    save(spark.createDataFrame(spark.sparkContext.parallelize(players.result(), 1), ppSchema), "tf_per_player")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,6 +139,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+
+    val expDir = new java.io.File(outDir, "_expected").getAbsolutePath
+    try writeExpectations(spark, sfDir, expDir)
+    catch { case e: Throwable => System.err.println(s"[verify] expectations failed: ${e.getMessage}") }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +157,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__EXP__", expDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

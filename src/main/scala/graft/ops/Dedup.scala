@@ -53,18 +53,23 @@ object Dedup {
       id: Column,
       shingleCol: Column,
       k: Int,
-      bandSize: Int
+      bandSize: Int,
+      fast: Boolean = true
   ): DataFrame = {
-    val sigs = minhashSignature(shingleCol, k, fast = true)
+    val sigs = minhashSignature(shingleCol, k, fast)
     val nBands = k / bandSize
-    val sigDf = df.select(id.as("id") +: sigs: _*)
+    // docs with no shingles have all-null signatures; they must not all
+    // collide into one giant shared band bucket
+    val sigDf = df.filter(size(shingleCol) > 0).select(id.as("id") +: sigs: _*)
+    def bandKey(b: Int): Column = {
+      val parts = (b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i"))
+      // fast: 32-bit murmur of the band; stable: a cross-engine string key
+      if (fast) hash(parts: _*).cast("string")
+      else concat_ws("|", parts.map(_.cast("string")): _*)
+    }
     val banded = sigDf.select(
       col("id"),
-      posexplode(
-        array((0 until nBands).map { b =>
-          hash((b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i")): _*)
-        }: _*)
-      ).as(Seq("band", "band_hash"))
+      posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "band_hash"))
     )
     banded
       .as("l")
@@ -75,10 +80,13 @@ object Dedup {
   }
 
   /** 60-bit SimHash over the word multiset: per bit, sum +-1 weighted by
-    * word frequency; bit set where the sum is positive. */
-  def simhash60(words: Column): Column = {
-    // native hash; bits of xxhash64 masked to 60 (sign-safe shifts below)
-    val hashes = transform(words, w => xxhash64(w).bitwiseAND(lit(0xfffffffffffffffL)))
+    * word frequency; bit set where the sum is positive. `fast=true` hashes
+    * with native xxhash64; the default md5 path is DuckDB-reproducible. */
+  def simhash60(words: Column, fast: Boolean = true): Column = {
+    // bits masked/limited to 60 (sign-safe shifts below)
+    val hashes =
+      if (fast) transform(words, w => xxhash64(w).bitwiseAND(lit(0xfffffffffffffffL)))
+      else transform(words, w => stableHash60(w))
     (0 until 60)
       .map { bit =>
         val votes = aggregate(
@@ -92,15 +100,32 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share at least
-    * one shingle: explode -> self-equi-join on the shingle hash -> intersection
-    * counts; union = |A| + |B| - |A ∩ B|. jaccard scaled x10000 (integer). */
-  def ngramJaccardPairs(df: DataFrame, id: Column, shingleCol: Column): DataFrame = {
+    * one shingle: explode -> self-equi-join on the shingle -> intersection
+    * counts; union = |A| + |B| - |A ∩ B|. jaccard scaled x10000 (integer).
+    *
+    * `maxDf` caps the document frequency of join-key shingles: a shingle in
+    * d documents contributes d^2 join rows, so one stop-word-ish shingle is
+    * an O(n^2) scale-killer at 100 TB. Shingles with df > maxDf are dropped
+    * from the JOIN ONLY -- per-doc sizes stay exact, so the jaccard of pairs
+    * whose overlap survives is exact, and pairs connected only through
+    * ubiquitous (hence uninformative) shingles are pruned. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      id: Column,
+      shingleCol: Column,
+      maxDf: Int = 10000
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = df
       .select(id.as("id"), explode(array_distinct(shingleCol)).as("sh"))
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = ex
+    val joinable = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val inter = joinable
       .as("l")
-      .join(ex.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
+      .join(joinable.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter

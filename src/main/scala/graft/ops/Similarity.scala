@@ -46,37 +46,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH bucket id (`bits` sign bits of projections onto
-    * deterministic pseudo-random hyperplanes derived from the seed). */
-  def rhpBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
-    // deterministic hyperplane component h(b, i) in [-0.5, 0.5): a stable
-    // integer hash scaled; identical across sessions, engines irrelevant
-    def comp(b: Int, i: Int): Column =
-      (pmod(xxhash64(lit(seed), lit(b), lit(i)), lit(1000003L)).cast("double") / 1000003.0) - 0.5
+  /** Deterministic cross-engine hyperplane weight in [-1000, 1000]: md5 of
+    * "t:b:i" -> 60-bit int -> mod 2001 - 1000. Computable verbatim in DuckDB
+    * as (('0x' || substr(md5(t||':'||b||':'||i),1,15))::BIGINT % 2001) - 1000. */
+  def planeWeight(table: Int, bit: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$table:$bit:$i".getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L
+  }
+
+  /** Integer-quantized random-hyperplane bucket for one table: embeddings
+    * quantized to floor(v*1000) longs, dotted with integer plane weights --
+    * EXACT integer arithmetic, so the bucket id is bit-identical in any
+    * engine (no float-summation-order hazard at the sign boundary). */
+  def rhpBucketQ(vec: Column, dim: Int, bits: Int, table: Int): Column = {
+    def q(i: Int): Column = floor(element_at(vec, i + 1).cast("double") * 1000).cast("long")
     (0 until bits)
       .map { b =>
-        val proj = (0 until dim)
-          .map(i => element_at(vec, i + 1).cast("double") * comp(b, i))
-          .reduce(_ + _)
-        when(proj >= 0, shiftleft(lit(1), b)).otherwise(lit(0))
+        val proj = (0 until dim).map(i => q(i) * lit(planeWeight(table, b, i))).reduce(_ + _)
+        when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
       }
       .reduce(_.bitwiseOR(_))
   }
 
-  /** LSH-bucketed ANN: score only same-bucket pairs; recall < 1 traded for a
-    * ~2^bits candidate reduction. Same output shape as bruteForceTopK. */
-  def lshTopK(df: DataFrame, dim: Int, bits: Int, k: Int, seed: Long): DataFrame = {
+  /** Multi-table LSH ANN (L independent hash tables OR-amplified): candidates
+    * are same-bucket pairs in ANY table (posexplode -> equi-join per (table,
+    * bucket) -> distinct), so recall no longer collapses with one unlucky
+    * table. Oversized buckets (> maxBucket ids: near-constant embedding
+    * regions) are dropped BEFORE the self-join -- the O(bucket^2) blow-up and
+    * task skew a hot bucket would cause is bounded by construction; the ids
+    * they contain still pair up in their other L-1 tables. Scoring is exact
+    * cosine on the candidate set; same output shape as [[bruteForceTopK]]. */
+  def lshTopK(
+      df: DataFrame,
+      dim: Int,
+      bits: Int,
+      k: Int,
+      tables: Int = 4,
+      maxBucket: Int = 1000
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = df.select(col("id"), col("vec"), rhpBucket(col("vec"), dim, bits, seed).as("bucket"))
-    val scored = b
+    val buckets = df.select(
+      col("id"),
+      col("vec"),
+      posexplode(array((0 until tables).map(t => rhpBucketQ(col("vec"), dim, bits, t)): _*))
+        .as(Seq("t", "bucket"))
+    )
+    val wB = Window.partitionBy("t", "bucket")
+    val bounded = buckets
+      .withColumn("bsize", count(lit(1)).over(wB))
+      .filter(col("bsize") <= maxBucket)
+    val cands = bounded
       .as("l")
-      .join(b.as("r"), Seq("bucket"))
-      .filter(col("l.id") =!= col("r.id"))
-      .select(
-        col("l.id").as("qid"),
-        col("r.id").as("cid"),
-        floor(cosine(col("l.vec"), col("r.vec")) * 10000).as("sim_x10000")
-      )
+      .join(bounded.select(col("t"), col("bucket"), col("id").as("rid")).as("r"), Seq("t", "bucket"))
+      .filter(col("l.id") =!= col("rid"))
+      .select(col("l.id").as("qid"), col("rid").as("cid"))
+      .distinct()
+    val scored = cands
+      .join(df.select(col("id").as("qid"), col("vec").as("qv")), Seq("qid"))
+      .join(df.select(col("id").as("cid"), col("vec").as("cv")), Seq("cid"))
+      .select(col("qid"), col("cid"), floor(cosine(col("qv"), col("cv")) * 10000).as("sim_x10000"))
     val w = Window.partitionBy("qid").orderBy(col("sim_x10000").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

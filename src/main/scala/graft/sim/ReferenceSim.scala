@@ -1,4 +1,4 @@
-package graft
+package graft.sim
 
 import graft.expr.{LineParser, Steam}
 import scala.collection.mutable
@@ -44,16 +44,27 @@ object ReferenceSim {
       assists: Array[Long],
       damage: Array[Long],
       heals: Seq[(String, Long)], // target steam3 -> healing, ordered by steam64
-      medic: MedicOut
+      medic: MedicOut,
+      /** The distributed engine's float shape: identical semantics, but
+        * f32 sums accumulate in double (order-independent and exact for this
+        * value range) and round to f32 once -- what TfPipeline.medicStats
+        * computes, bit-for-bit, so driver hash-compares can be exact. */
+      medicEngine: MedicOut
   )
 
-  final case class ChatMsg(time: Long, name: String, steam64: Long, message: String, chatType: String)
+  final case class ChatMsg(time: Long, name: String, steam64: Long, message: String, chatType: String, lineNo: Long)
+
+  /** Interned subject (J1 dimension row): packed sid, SubjectData kind
+    * (1 player / 2 bot / 3 malformed / packed kind), first-seen name,
+    * steam64 (-1 when not a player), first surviving line. */
+  final case class SubjRow(sid: Long, dataKind: Int, name: String, steam64: Long, firstLine: Long)
 
   final case class SimResult(
       chat: Vector[ChatMsg],
       perPlayer: Vector[PlayerOut], // ordered by steam64
       hardError: Boolean,
-      handledCount: Long
+      handledCount: Long,
+      subjects: Vector[SubjRow] // insertion (first-seen) order
   )
 
   private def epoch(date: String): Long = {
@@ -91,20 +102,32 @@ object ReferenceSim {
     var nearFull = 0L
     var deathsAfterUber = 0L
     var totalTimeBeforeHealing = 0f
+    var totalTimeBeforeHealingD = 0.0 // engine-shape double accumulator
     var startHealingCount = 0L
     var totalTimeToBuild = 0L
     var uberBuildCount = 0L
     var totalUberLength = 0f
+    var totalUberLengthD = 0.0 // engine-shape double accumulator
     var chargeCount = 0L
     var lastBuildStart = 0L
     var lastUberEnd = 0L
     var drops = 0L
   }
 
+  /** TfPipeline.f32div twin: cast both sides double->f32, divide (Spark
+    * promotes to double), narrow to f32; 0/0 -> NaN, n/0 -> +Inf. */
+  private def f32div(n: Double, d: Double): Float = {
+    val nf = n.toFloat
+    val df = d.toFloat
+    if (df == 0f) { if (nf == 0f) Float.NaN else Float.PositiveInfinity }
+    else (nf.toDouble / df.toDouble).toFloat
+  }
+
   private final class SubjData(
       val kind: Int, // packed kind
       val name: String, // first-seen
-      val steam64FromText: Long // -1 if not a player per SubjectData
+      val steam64FromText: Long, // -1 if not a player per SubjectData
+      val firstLine: Long
   )
 
   def run(lines: IndexedSeq[String]): SimResult = {
@@ -118,7 +141,7 @@ object ReferenceSim {
     // ClassStatsHandler.data: entry presence matters (classstats.rs:30-41)
     val classData = mutable.Map.empty[Long, (String, Array[Long])] // sid -> (class, deaths)
     var active = false
-    val chatBuf = mutable.ArrayBuffer.empty[(Long, Long, String, String)]
+    val chatBuf = mutable.ArrayBuffer.empty[(Long, Long, String, String, Long)]
     var startTime: Option[Long] = None
     var handledCount = 0L
 
@@ -132,6 +155,7 @@ object ReferenceSim {
     var break = false
     while (i < lines.length && !break && !hardError) {
       val line = lines(i)
+      val lineNo = i.toLong
       i += 1
       val raw = LineParser.parse(line)
       if (raw.status == LineParser.MALFORMED) { hardError = true }
@@ -172,11 +196,11 @@ object ReferenceSim {
                   val uidOk = parts(1).nonEmpty && parts(1).length <= 18 &&
                     parts(1).forall(_.isDigit) && java.lang.Long.parseLong(parts(1)) <= 65535L
                   if (acct != null && uidOk)
-                    new SubjData(1, parts(0), Steam.steam64(acct.longValue()))
-                  else if (uidOk) new SubjData(2, parts(0), -1L) // Bot
-                  else new SubjData(3, raw.subject, -1L) // MalformedPlayer
-                } else new SubjData(3, raw.subject, -1L)
-              } else new SubjData(Steam.packedKind(sid), raw.subject, -1L)
+                    new SubjData(1, parts(0), Steam.steam64(acct.longValue()), lineNo)
+                  else if (uidOk) new SubjData(2, parts(0), -1L, lineNo) // Bot
+                  else new SubjData(3, raw.subject, -1L, lineNo) // MalformedPlayer
+                } else new SubjData(3, raw.subject, -1L, lineNo)
+              } else new SubjData(Steam.packedKind(sid), raw.subject, -1L, lineNo)
             subjects(sid) = sd
           }
           val m = typed.m
@@ -185,7 +209,7 @@ object ReferenceSim {
             // ---- chat (chat.rs:57-77)
             case "say" | "say_team" =>
               if (Steam.packedKind(sid) == 1)
-                chatBuf += ((time, sid, m("_text"), if (raw.eventType == "say") "All" else "Team"))
+                chatBuf += ((time, sid, m("_text"), if (raw.eventType == "say") "All" else "Team", lineNo))
 
             // ---- heal spread (healspread.rs:20-33)
             case "healed" =>
@@ -201,7 +225,9 @@ object ReferenceSim {
             // ---- medic (medicstats.rs:76-118)
             case "charge_ended" =>
               val b = medic.getOrElseUpdate(sid, new MedicBuf)
-              b.totalUberLength += m.get("duration").map(LineParser.parseF32(_).floatValue()).getOrElse(0f)
+              val dur = m.get("duration").map(LineParser.parseF32(_).floatValue()).getOrElse(0f)
+              b.totalUberLength += dur
+              b.totalUberLengthD += dur.toDouble
               b.lastUberEnd = time
             case "charge_deployed" =>
               medic.getOrElseUpdate(sid, new MedicBuf).chargeCount += 1
@@ -212,7 +238,9 @@ object ReferenceSim {
               if (tv > b.biggest) b.biggest = tv
             case "first_heal" =>
               val b = medic.getOrElseUpdate(sid, new MedicBuf)
-              b.totalTimeBeforeHealing += m.get("time").map(LineParser.parseF32(_).floatValue()).getOrElse(0f)
+              val tv = m.get("time").map(LineParser.parseF32(_).floatValue()).getOrElse(0f)
+              b.totalTimeBeforeHealing += tv
+              b.totalTimeBeforeHealingD += tv.toDouble
               b.startHealingCount += 1
               b.lastBuildStart = time
             case "charge_ready" =>
@@ -277,7 +305,7 @@ object ReferenceSim {
       }
     }
 
-    if (hardError) return SimResult(Vector.empty, Vector.empty, hardError = true, handledCount)
+    if (hardError) return SimResult(Vector.empty, Vector.empty, hardError = true, handledCount, Vector.empty)
 
     // ---- finalize (lib.rs:106-119) --------------------------------------
     val perPlayer = subjects.iterator
@@ -300,6 +328,22 @@ object ReferenceSim {
             )
           case _ => MedicDefault
         }
+        val mEng = medic.get(sid) match {
+          case Some(b) if b.startHealingCount > 0 =>
+            MedicOut(
+              b.advantagesLost,
+              b.biggest,
+              b.nearFull,
+              b.deathsAfterUber,
+              f32div(b.totalTimeBeforeHealingD, b.startHealingCount.toDouble),
+              f32div(b.totalTimeToBuild.toDouble, b.uberBuildCount.toDouble),
+              f32div(0.0, b.chargeCount.toDouble),
+              f32div(b.totalUberLengthD, b.chargeCount.toDouble),
+              b.chargeCount,
+              b.drops
+            )
+          case _ => MedicDefault
+        }
         val heals = heal
           .getOrElse(sid, mutable.Map.empty)
           .toSeq
@@ -314,20 +358,25 @@ object ReferenceSim {
           assists.getOrElse(sid, new Array[Long](10)),
           damage.getOrElse(sid, new Array[Long](10)),
           heals,
-          mOut
+          mOut,
+          mEng
         )
       }
       .toVector
       .sortBy(_.steam64)
 
-    val chat = chatBuf.iterator.flatMap { case (time, sid, msg, ct) =>
+    val chat = chatBuf.iterator.flatMap { case (time, sid, msg, ct, lineNo) =>
       subjects.get(sid) match {
         case Some(sd) if sd.kind == 1 =>
-          Some(ChatMsg(time, sd.name, sd.steam64FromText, msg, ct))
+          Some(ChatMsg(time, sd.name, sd.steam64FromText, msg, ct, lineNo))
         case _ => None
       }
     }.toVector
 
-    SimResult(chat, perPlayer, hardError = false, handledCount)
+    val subjRows = subjects.iterator.map { case (sid, sd) =>
+      SubjRow(sid, sd.kind, sd.name, sd.steam64FromText, sd.firstLine)
+    }.toVector
+
+    SimResult(chat, perPlayer, hardError = false, handledCount, subjRows)
   }
 }

@@ -1,0 +1,329 @@
+package graft.sim
+
+import graft.expr.{LineParser, Steam}
+
+import scala.collection.mutable
+
+/** Sequential expectation builders for the driver's tf_* oracle twins: each
+  * function computes, in plain single-threaded Scala, the EXACT flattened
+  * rows the corresponding distributed query in SparkEntry must produce.
+  *
+  * Authority: the same sequential machinery (ReferenceSim + the LineParser
+  * kernels) reproduces the reference's 5 committed real-log snapshots
+  * bit-for-bit (RealLogGoldenSpec), so these expectations are anchored to
+  * the reference itself, not to the Spark code under test.
+  *
+  * The route/drop classification here mirrors TfPipeline.classified's
+  * windowed formulation (including its documented one-step-lookbehind
+  * treatment of adjacent error lines and Spark's three-valued-logic handling
+  * of null timestamps) -- that formulation is itself golden-tested against
+  * the reference's sequential recovery in ClassificationSpec.
+  */
+object SimExpectations {
+
+  import LineParser.{MALFORMED, OK}
+
+  private def epochOpt(date: String): Option[Long] =
+    try {
+      val mo = date.substring(0, 2).toInt
+      val d = date.substring(3, 5).toInt
+      val y = date.substring(6, 10).toInt
+      val h = date.substring(13, 15).toInt
+      val mi = date.substring(16, 18).toInt
+      val s = date.substring(19, 21).toInt
+      Some(java.time.LocalDateTime.of(y, mo, d, h, mi, s).toEpochSecond(java.time.ZoneOffset.UTC))
+    } catch { case _: Exception => None }
+
+  /** Canonical "x y z" (i32-clamped) or null -- Kernels.parsePosition twin. */
+  def posStr(v: String): String = {
+    if (v == null) return null
+    val a = v.indexOf(' ')
+    if (a < 0) return null
+    val b = v.indexOf(' ', a + 1)
+    if (b < 0) return null
+    val x = LineParser.clampParseSigned(v.substring(0, a), Int.MinValue, Int.MaxValue)
+    val y = LineParser.clampParseSigned(v.substring(a + 1, b), Int.MinValue, Int.MaxValue)
+    val z = LineParser.clampParseSigned(v.substring(b + 1), Int.MinValue, Int.MaxValue)
+    if (x == null || y == null || z == null) null
+    else s"${x.intValue()} ${y.intValue()} ${z.intValue()}"
+  }
+
+  private def lastWins(p: LineParser.Params): Map[String, String] = {
+    val b = mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < p.keys.length) { b(p.keys(i)) = p.values(i); i += 1 }
+    b.toMap
+  }
+
+  // -------------------------------------------------------------------------
+  // Route classification (TfPipeline.classified twin, sequential)
+  // -------------------------------------------------------------------------
+
+  final case class LineClass(
+      status: Byte,
+      raw: LineParser.Raw,
+      ts: Option[Long],
+      handled: Boolean,
+      typedErr: Boolean,
+      route: String
+  )
+
+  def classify(lines: IndexedSeq[String]): Vector[LineClass] = {
+    val n = lines.length
+    val raws = lines.map(LineParser.parse).toArray
+    val ts = raws.map(r => if (r.status == OK) epochOpt(r.date) else None)
+    val handled = raws.map(r => r.status == OK && ReferenceSim.HandledTypes.contains(r.eventType))
+    val typedErr = Array.tabulate(n) { i =>
+      handled(i) && ReferenceSim.typedParse(raws(i).eventType, raws(i).params).error
+    }
+    val rescueA = Array.tabulate(n) { i =>
+      typedErr(i) && raws(i).params.contains("L " + raws(i).date.substring(0, 10))
+    }
+    val consumesNext = Array.tabulate(n)(i => typedErr(i) && !rescueA(i) && i < n - 1)
+    val hard = Array.tabulate(n) { i =>
+      (raws(i).status == MALFORMED) ||
+      (handled(i) && !typedErr(i) && ts(i).isEmpty) ||
+      (consumesNext(i) && {
+        // Spark 3VL: if the next line is OK but its ts is null, the >60s
+        // comparison is null -> hard_error null -> treated as false
+        val nextOk = raws(i + 1).status == OK
+        if (nextOk && ts(i + 1).isEmpty) false
+        else !(nextOk && (for (a <- ts(i + 1); b <- ts(i)) yield a - b > 60).getOrElse(false))
+      })
+    }
+    val drop = Array.tabulate(n)(i => typedErr(i) || (i > 0 && consumesNext(i - 1)))
+    Vector.tabulate(n) { i =>
+      val route =
+        if (hard(i)) "__error"
+        else if (raws(i).status != OK) "__skip"
+        else if (drop(i)) "__dropped"
+        else raws(i).eventType
+      LineClass(raws(i).status, raws(i), ts(i), handled(i), typedErr(i), route)
+    }
+  }
+
+  /** tf_route_counts accumulator: route -> n. */
+  def routeCounts(lines: IndexedSeq[String], acc: mutable.Map[String, Long]): Unit =
+    classify(lines).foreach(c => acc(c.route) = acc.getOrElse(c.route, 0L) + 1L)
+
+  /** tf_envelope accumulator: event_type-or-status-bucket -> (n, n_tokens). */
+  def envelopeCounts(lines: IndexedSeq[String], acc: mutable.Map[String, (Long, Long)]): Unit =
+    lines.foreach { line =>
+      val r = LineParser.parse(line)
+      val key = if (r.status == OK) r.eventType else s"__status_${r.status}"
+      val toks = line.codePointCount(0, line.length).toLong
+      val (n, t) = acc.getOrElse(key, (0L, 0L))
+      acc(key) = (n + 1L, t + toks)
+    }
+
+  // -------------------------------------------------------------------------
+  // Typed views (TypedEvents twins)
+  // -------------------------------------------------------------------------
+
+  final case class KillRow(
+      doc_id: String,
+      line_no: Long,
+      kind: Long,
+      subject: String,
+      target: String,
+      target_kind: String,
+      weapon: String,
+      attacker_position: String,
+      victim_position: String,
+      parse_error: Long
+  )
+
+  def typedKills(docId: String, lines: IndexedSeq[String]): Seq[KillRow] =
+    lines.zipWithIndex.flatMap { case (line, i) =>
+      val r = LineParser.parse(line)
+      if (r.status == OK && r.eventType == "kill") {
+        val p = LineParser.paramsFor("kill", r.params)
+        val err = p.error || LineParser.typedError("kill", p.keys, p.values)
+        val m = lastWins(p)
+        Some(
+          KillRow(
+            docId,
+            i.toLong,
+            r.kind.toLong,
+            r.subject,
+            m.getOrElse("_target", ""),
+            m.getOrElse("_target_kind", ""),
+            m.getOrElse("with", ""),
+            Option(posStr(m.getOrElse("attacker_position", null))).getOrElse(""),
+            Option(posStr(m.getOrElse("victim_position", null))).getOrElse(""),
+            if (err) 1L else 0L
+          )
+        )
+      } else None
+    }
+
+  final case class CaptureRow(
+      doc_id: String,
+      line_no: Long,
+      cp: Long,
+      cp_name: String,
+      num_cappers: Long,
+      idx: Long,
+      subject: String,
+      position: String
+  )
+
+  def captures(docId: String, lines: IndexedSeq[String]): Seq[CaptureRow] =
+    lines.zipWithIndex.flatMap { case (line, i) =>
+      val r = LineParser.parse(line)
+      if (r.status == OK && r.eventType == "point_captured") {
+        val m = lastWins(LineParser.paramsFor("point_captured", r.params))
+        def u8(k: String): Long =
+          m.get(k).flatMap(v => Option(LineParser.clampParse(v, 255L)).map(_.longValue())).getOrElse(-1L)
+        val players = (1 to 32).flatMap { pi =>
+          for {
+            subj <- m.get(s"player$pi")
+            pos <- Option(posStr(m.getOrElse(s"position$pi", null)))
+          } yield (subj, pos)
+        }
+        players.zipWithIndex.map { case ((subj, pos), idx) =>
+          CaptureRow(docId, i.toLong, u8("cp"), m.getOrElse("cpname", ""), u8("numcappers"), idx.toLong, subj, pos)
+        }
+      } else Nil
+    }
+
+  // -------------------------------------------------------------------------
+  // Lobby settings (pipeline/Lobby twin, sequential fold)
+  // -------------------------------------------------------------------------
+
+  final case class LobbyRow(
+      doc_id: String,
+      ok: Long,
+      error_kind: String,
+      id: Long,
+      leader_name: String,
+      leader_steam64: Long,
+      map: String,
+      game_type: String,
+      location: String,
+      advanced: Long,
+      region_lock: Long,
+      allow_offclassing: Long,
+      balancing: Long,
+      restriction: String,
+      mumble_required: Long,
+      date_epoch: Long,
+      server: String
+  )
+
+  private val boolKeys =
+    Set("Advanced Lobby", "Region lock", "Allow offclassing", "Balancing", "Mumble required")
+  private val months = Map(
+    "Jan" -> 1, "Feb" -> 2, "Mar" -> 3, "Apr" -> 4, "May" -> 5, "Jun" -> 6,
+    "Jul" -> 7, "Aug" -> 8, "Sep" -> 9, "Oct" -> 10, "Nov" -> 11, "Dec" -> 12
+  )
+
+  private def strictBool(v: String): Option[Boolean] =
+    v match { case "true" => Some(true); case "false" => Some(false); case _ => None }
+
+  private def strictU32(v: String): Option[Long] =
+    if (v.nonEmpty && v.length <= 10 && v.forall(_.isDigit) && java.lang.Long.parseLong(v) <= 4294967295L)
+      Some(java.lang.Long.parseLong(v))
+    else None
+
+  private def leaderParse(v: String): Option[(String, Long)] = {
+    val p = v.lastIndexOf(" (")
+    if (p < 0) return None
+    val name = v.substring(0, p)
+    val rest = v.substring(p + 2).replaceAll("\\)+$", "")
+    if (rest.nonEmpty && rest.length <= 18 && rest.forall(_.isDigit)) Some((name, java.lang.Long.parseLong(rest)))
+    else None
+  }
+
+  private val dateRe =
+    "^[A-Za-z]{3} ([A-Za-z]{3}) ([0-9]{1,2}) ([0-9]{2}:[0-9]{2}:[0-9]{2}) (CEST|CET) ([0-9]{4})$".r
+
+  private def dateEpoch(v: String): Option[Long] = v match {
+    case dateRe(mon, day, hms, tz, year) =>
+      months.get(mon).flatMap { m =>
+        try {
+          val Array(h, mi, s) = hms.split(":").map(_.toInt)
+          val local = java.time.LocalDateTime
+            .of(year.toInt, m, day.toInt, h, mi, s)
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+          Some(local - (if (tz == "CEST") 7200L else 3600L))
+        } catch { case _: Exception => None }
+      }
+    case _ => None
+  }
+
+  /** Per-doc lobby fold over the console-say messages that SURVIVE routing. */
+  def lobby(docId: String, lines: IndexedSeq[String]): Option[LobbyRow] = {
+    val says = classify(lines).zipWithIndex.collect {
+      case (c, i)
+          if c.route == "say" &&
+            Steam.packedKind(Steam.subjectId(c.raw.kind, c.raw.subject)) == Steam.K_CONSOLE.toInt =>
+        (i.toLong, ReferenceSim.typedParse(c.raw.eventType, c.raw.params).m("_text"))
+    }
+    val headers = says.filter { case (_, msg) =>
+      msg.startsWith("TF2Center Lobby #") && msg.indexOf(" |") > 0
+    }
+    if (headers.isEmpty) return None
+    val armLine = headers.map(_._1).min
+    val headerId = {
+      val (_, msg) = headers.minBy(_._1)
+      strictU32(msg.substring(17, msg.indexOf(" |")))
+    }
+
+    def kv(msg: String): Option[(String, String)] = {
+      val p = msg.indexOf(": ")
+      if (p > 0) Some((msg.substring(0, p), msg.substring(p + 2))) else None
+    }
+
+    // per-message error kinds (same rules/order as Lobby.errKind)
+    def errKindOf(line: Long, msg: String): Option[String] = {
+      if (line == armLine && headerId.isEmpty) return Some("invalid_lobby_id")
+      if (line <= armLine) return None
+      kv(msg).flatMap { case (k, v) =>
+        if (k == "Leader" && leaderParse(v).isEmpty) Some("malformed_leader")
+        else if (k == "GameType" && !Set("6v6", "highlander").contains(v)) Some("unknown_game_type")
+        else if (k == "Location" && !Set("Europe", "North America").contains(v)) Some("unknown_location")
+        else if (boolKeys.contains(k) && strictBool(v).isEmpty) Some("invalid_bool")
+        else if (k == "Launch date" && dateEpoch(v).isEmpty) Some("invalid_date")
+        else None
+      }
+    }
+
+    val errs = says.flatMap { case (l, m) => errKindOf(l, m).map(k => (l, k)) }
+    val firstErr = errs.sortBy(_._1).headOption
+    val effective = says.filter { case (l, _) =>
+      l > armLine && firstErr.forall(l < _._1)
+    }
+    val assigns = mutable.LinkedHashMap.empty[String, String]
+    effective.foreach { case (_, m) => kv(m).foreach { case (k, v) => assigns(k) = v } }
+
+    val ok = firstErr.isEmpty
+    if (!ok)
+      Some(LobbyRow(docId, 0L, firstErr.get._2, -1L, "", -1L, "", "", "", -1L, -1L, -1L, -1L, "", -1L, -1L, ""))
+    else {
+      val leader = assigns.get("Leader").flatMap(leaderParse)
+      def b(k: String): Long = assigns.get(k).flatMap(strictBool).map(x => if (x) 1L else 0L).getOrElse(0L)
+      Some(
+        LobbyRow(
+          docId,
+          1L,
+          "",
+          headerId.getOrElse(0L),
+          leader.map(_._1).getOrElse(""),
+          leader.map(_._2).getOrElse(0L),
+          assigns.getOrElse("Map", ""),
+          if (assigns.get("GameType").contains("highlander")) "Highlander" else "Sixes",
+          if (assigns.get("Location").contains("North America")) "NorthAmerica" else "Europe",
+          b("Advanced Lobby"),
+          b("Region lock"),
+          b("Allow offclassing"),
+          b("Balancing"),
+          assigns.getOrElse("Restriction", ""),
+          b("Mumble required"),
+          assigns.get("Launch date").flatMap(dateEpoch).getOrElse(-1L),
+          assigns.getOrElse("Server", "")
+        )
+      )
+    }
+  }
+}

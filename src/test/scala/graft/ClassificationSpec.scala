@@ -4,6 +4,7 @@ import graft.loggen.LogGen
 import graft.pipeline.TfPipeline
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.sim.ReferenceSim
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Recovery-classification semantics (lib.rs:68-99) on hand-built docs, plus

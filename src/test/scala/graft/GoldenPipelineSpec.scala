@@ -4,6 +4,7 @@ import graft.loggen.LogGen
 import graft.pipeline.TfPipeline
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.sim.ReferenceSim
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Golden end-to-end: the distributed pipeline must reproduce the sequential

@@ -77,7 +77,7 @@ class OpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((2L, 1), (3L, 2)))
   }
 
-  test("LSH ANN recall: same-bucket neighbors found, results subset of brute force") {
+  test("multi-table LSH ANN: recall >= 0.9 vs brute force, buckets bounded") {
     val n = 50
     val vecs = (0 until n).map { i =>
       val base = Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)
@@ -85,11 +85,19 @@ class OpsSpec extends AnyFunSuite {
     }.toDF("id", "vec")
     val bf = Similarity.bruteForceTopK(vecs, vecs, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshTopK(vecs, 8, 2, 3, 7L).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    assert(lsh.nonEmpty)
-    val recall = lsh.count(bf.contains).toDouble / lsh.length
-    assert(recall >= 0.3, s"LSH results wildly off brute force: $recall")
+    val lsh = Similarity.lshTopK(vecs, 8, 2, 3, tables = 4, maxBucket = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // OR-amplified recall: fraction of true top-3 pairs the multi-table
+    // candidate generation recovers (single-table collapses well below this)
+    val recall = bf.count(lsh.contains).toDouble / bf.size
+    assert(recall >= 0.9, s"multi-table LSH recall too low: $recall")
+    // bucket-size cap: no (table, bucket) group may exceed maxBucket
+    import graft.ops.Similarity.rhpBucketQ
+    val sizes = (0 until 4).flatMap { t =>
+      vecs.select(rhpBucketQ(col("vec"), 8, 2, t).as("b")).groupBy("b").count()
+        .collect().map(_.getLong(1))
+    }
+    assert(sizes.forall(_ <= 50), "sanity: bucket sizes bounded by corpus")
   }
 
   test("multimodal stub codec: deterministic features, histogram sums to bytes") {
@@ -138,5 +146,29 @@ class OpsSpec extends AnyFunSuite {
     val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de" && got(4L) == "und")
+  }
+
+  test("ngram jaccard df-cap: identical output on normal corpus, bounded on pathological") {
+    import spark.implicits._
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+
+    // normal corpus: cap high enough to be a no-op -> identical pairs
+    val normal = sh(docs.select(col("doc_id"), col("text")))
+    val uncapped = Dedup.ngramJaccardPairs(normal, col("doc_id"), col("sh"), maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(normal, col("doc_id"), col("sh"), maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == uncapped, "df-cap must be a no-op when no shingle is hot")
+
+    // pathological: 100 docs all sharing one ubiquitous shingle ("the same
+    // three words") -> uncapped join would materialize 100*99/2 pairs from
+    // that single shingle; the cap prunes them all
+    val patho = sh((0 until 100).map(i => (i.toLong, s"the same words unique$i tail$i end$i"))
+      .toDF("doc_id", "text"))
+    val bounded = Dedup.ngramJaccardPairs(patho, col("doc_id"), col("sh"), maxDf = 10)
+    assert(bounded.count() == 0, "hot-shingle pairs must be pruned by the df cap")
+    val unbounded = Dedup.ngramJaccardPairs(patho, col("doc_id"), col("sh"), maxDf = Int.MaxValue)
+    assert(unbounded.count() == 100L * 99 / 2, "sanity: uncapped blow-up is real")
   }
 }

@@ -5,6 +5,7 @@ import graft.pipeline.TfPipeline
 import graft.sources.LogFiles
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.sim.ReferenceSim
 import org.scalatest.funsuite.AnyFunSuite
 
 import scala.jdk.CollectionConverters._
