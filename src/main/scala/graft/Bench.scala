@@ -69,9 +69,22 @@ object Bench {
     } finally if (!noCache) { routed.unpersist(); () }
   }
 
+  /** Aggregate layer reading the COMMITTED route store (partition-pruned
+    * parquet) instead of an in-memory cache -- the only shape that exists at
+    * 100 TB, where parse->route runs once and aggregates are separate jobs. */
+  def aggregatesFromStore(spark: SparkSession, storeDir: String): Unit = {
+    val stored = spark.read.parquet(s"$storeDir/data")
+    val routed = TfPipeline.routedFromStore(stored)
+    val dim = TfPipeline.subjectDim(routed)
+    force(TfPipeline.perPlayer(routed, dim))
+    force(TfPipeline.chat(routed, dim))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val bigDocs = sys.env.getOrElse("SPARK_GRAFT_BIG_DOCS", "2000").toInt
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -85,8 +98,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Median of up to `iters` runs (the host shows up to 3x run-to-run
+      * variance); expensive queries (>15 s first run) get 2, >40 s get 1. */
+    def median(f: () => Unit): (Double, Double) = {
+      try {
+        val first = timed(f())
+        val n = if (first > 40) 1 else if (first > 15) 2 else iters
+        val all = first +: (1 until n).map(_ => timed(f()))
+        val s = all.sorted
+        (s(s.length / 2), s.head)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    }
+
+    // routed store for the store-based aggregate leg (written outside timing;
+    // the write itself is timed separately as tf_route_write)
+    val storeDir = s"${sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft-bench-store")}/r"
+    val routable = TfPipeline.routable(TfPipeline.envelope(input))
+    graft.pipeline.Route.writeRouted(spark, routable, storeDir, Route0.fp(input))
+
     val headline: Seq[(String, () => Unit)] = Seq(
       "tf_pipeline" -> (() => pipelineOnce(spark, input)),
+      "tf_pipeline_store" -> (() => aggregatesFromStore(spark, storeDir)),
       "tf_envelope" -> (() => force(TfPipeline.envelope(input))),
       "tf_route_write" -> (() => force(TfPipeline.routable(TfPipeline.envelope(input)))),
       "q1_agg" -> (() => force(SparkEntry.queries("q1_agg")(spark, sfDir))),
@@ -102,21 +134,40 @@ object Bench {
     try pipelineOnce(spark, input)
     catch { case _: Throwable => }
 
-    val results = headline.map { case (name, f) =>
-      val sec = try timed(f())
-      catch { case _: Throwable => -1.0 }
-      name -> sec
-    }
+    val results = headline.map { case (name, f) => name -> median(f) }
+
+    // throughput leg: a larger table (default 1M rows) so seq/s reflects
+    // streaming throughput, not the ~10-stage barrier floor of a small input
+    val (bigRows, bigSec) =
+      try {
+        val big = graft.loggen.LogGen.generate(spark, bigDocs, 500, 42L).toDF().persist()
+        val n = big.count()
+        try pipelineOnce(spark, big)
+        catch { case _: Throwable => } // warm partitions/codegen
+        val t = Seq(timed(pipelineOnce(spark, big)), timed(pipelineOnce(spark, big))).min
+        big.unpersist()
+        (n, t)
+      } catch { case _: Throwable => (0L, -1.0) }
 
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, (med, _)) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val pipeSec = results.toMap.getOrElse("tf_pipeline", -1.0)
-    val thr = if (pipeSec > 0) nRows / pipeSec else -1.0
+    val qmin = results
+      .map { case (k, (_, mn)) => "\"" + k + "\":" + f"$mn%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val pipeSec = results.toMap.get("tf_pipeline").map(_._1).getOrElse(-1.0)
+    val thrSmall = if (pipeSec > 0) nRows / pipeSec else -1.0
+    val thr = if (bigSec > 0) bigRows / bigSec else thrSmall
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","rows":$nRows%d,"cpus":"$cpus%s","pipeline_seq_per_sec":$thr%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_min":$qmin%s,"sf":"$sfDir%s","rows":$nRows%d,"cpus":"$cpus%s","pipeline_seq_per_sec":$thr%.1f,"pipeline_seq_per_sec_small":$thrSmall%.1f,"big_rows":$bigRows%d,"big_sec":$bigSec%.3f,"iters":$iters%d}"""
     )
     spark.stop()
+  }
+
+  private object Route0 {
+    /** Cheap per-input fingerprint so re-running bench on identical input
+      * resumes the store write as a no-op. */
+    def fp(input: DataFrame): String = graft.pipeline.Route.fingerprint(input)
   }
 }

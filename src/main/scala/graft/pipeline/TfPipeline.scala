@@ -138,8 +138,27 @@ object TfPipeline {
     * only needed on the route-write path ([[routable]]). */
   def routed(env: DataFrame): DataFrame = {
     val cls = classified(env.drop("tokens"))
-    cls
-      .filter(col("handled") && !col("drop") && !col("hard_error"))
+    deriveRouted(cls.filter(col("handled") && !col("drop") && !col("hard_error")))
+  }
+
+  /** The aggregate layer's input recomputed FROM THE COMMITTED ROUTE STORE
+    * (Route.writeRouted partitions): the 100 TB shape, where the parse/route
+    * leg runs once and every aggregate job reads pruned parquet partitions
+    * instead of an in-memory cache. Rows in HandledTypes partitions are by
+    * construction the surviving handled rows, so the derivation below is
+    * identical to [[routed]]'s post-filter path. */
+  def routedFromStore(stored: DataFrame): DataFrame =
+    deriveRouted(
+      stored
+        .filter(col("route").isInCollection(HandledTypes)) // partition pruning
+        .withColumn("ts", unix_timestamp(to_timestamp(col("date"), "MM/dd/yyyy - HH:mm:ss")))
+        .withColumn("pm", params_map(col("event_type"), col("params")))
+    )
+
+  /** Shared derivation: surviving handled rows (with ts + pm) -> the routed
+    * frame consumed by every module aggregate. */
+  private def deriveRouted(filtered: DataFrame): DataFrame = {
+    filtered
       .withColumn("sid", subject_id(col("kind"), col("subject")))
       .withColumn("start_ts", first(col("ts")).over(wDoc))
       .withColumn("time", pmod(col("ts") - col("start_ts"), lit(4294967296L)))
@@ -177,8 +196,9 @@ object TfPipeline {
             .when(col("event_type") === "role_change", element_at(col("pm"), "to"))
         )
       )
-      .drop("handled", "typed_err", "drop", "hard_error", "consumes_next", "status",
-        "params", "date", "pm")
+      .select("doc_id", "line_no", "source", "kind", "subject", "event_type", "ts",
+        "sid", "time", "active", "text", "target_raw", "target_kind", "healing",
+        "dmg", "charge", "duration", "f_time", "class_str")
   }
 
   /** All valid-envelope rows (any event type) with sid -- the full routing

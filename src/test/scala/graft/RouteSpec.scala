@@ -59,4 +59,29 @@ class RouteSpec extends AnyFunSuite {
     // dead-letter partitions exist for skip/unknown
     assert(expected.keys.exists(_ == "__skip") || expected.keys.exists(_ == "unknown"))
   }
+
+  test("aggregates from the committed store equal the in-memory routed path") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft-store-parity").toString
+    val input = LogGen.generate(spark, 4, 400, 11L).toDF()
+    val env = TfPipeline.envelope(input)
+    val routable = TfPipeline.routable(env)
+    Route.writeRouted(spark, routable, dir, Route.fingerprint(input))
+
+    val direct = TfPipeline.routed(env)
+    val stored = TfPipeline.routedFromStore(spark.read.parquet(s"$dir/data"))
+
+    def pp(r: org.apache.spark.sql.DataFrame) = {
+      val dim = TfPipeline.subjectDim(r)
+      TfPipeline
+        .perPlayer(r, dim)
+        .withColumn("heal_entries", map_entries(col("heals")))
+        .drop("heals")
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+    }
+    assert(pp(stored) == pp(direct), "store-based aggregate layer diverges from direct path")
+  }
 }
