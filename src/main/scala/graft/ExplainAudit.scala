@@ -1,0 +1,45 @@
+package graft
+
+import graft.pipeline.TfPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan auditor: prints the physical plans of the scale-critical paths so
+  * partition pruning / filter pushdown / broadcast choices are inspectable
+  * (and greppable) rather than assumed.
+  *
+  * Usage: runMain graft.ExplainAudit [storeDir] [sfDir]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val storeDir = args.headOption.getOrElse("/tmp/graft-bench-store/r")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession
+      .builder()
+      .master(sys.props.getOrElse("spark.master", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def section(title: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n================ $title ================")
+      df.explain("formatted")
+    }
+
+    if (new java.io.File(s"$storeDir/data").isDirectory) {
+      section("store-read aggregate leg (expect PartitionFilters on route)") {
+        val routed = TfPipeline.routedFromStore(spark.read.parquet(s"$storeDir/data"))
+        TfPipeline.perPlayer(routed, TfPipeline.subjectDim(routed))
+      }
+    }
+    section("q1_agg (expect PushedFilters/ReadSchema pruning)") {
+      SparkEntry.queries("q1_agg")(spark, sfDir)
+    }
+    section("q_broadcast_join (expect BroadcastHashJoin)") {
+      SparkEntry.queries("q_broadcast_join")(spark, sfDir)
+    }
+    spark.stop()
+  }
+}
