@@ -33,7 +33,11 @@ object Bench {
       .master(master)
       .appName("graft-bench")
       // 4 waves per stage: straggler smoothing without tiny-task overhead
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      // (override with SPARK_GRAFT_SHUFFLE for A/B runs)
+      .config(
+        "spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 4).toString)
+      )
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       // tmpfs shuffle dirs: the sandbox's single shared disk would otherwise
@@ -84,7 +88,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
-    val bigDocs = sys.env.getOrElse("SPARK_GRAFT_BIG_DOCS", "2000").toInt
+    val bigDocs = sys.env.getOrElse("SPARK_GRAFT_BIG_DOCS", "8000").toInt
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
