@@ -377,26 +377,25 @@ object TfPipeline {
       .select("doc_id", "sid", "medic")
   }
 
-  /** Class stats (A1-A4 + J3 as-of class lookup + A13 round gate). */
+  /** Class stats (A1-A4 + J3 as-of class lookup + A13 round gate).
+    *
+    * Single-scan formulation: each routed row emits its state/consumer
+    * contributions as an inline array that is exploded once -- ONE pass over
+    * the (possibly cached or store-read) input instead of six filtered
+    * re-scans, one exchange on (doc_id, key). Semantics identical to the
+    * reference's per-event handler calls (classstats.rs:61-109). */
   def classStats(routedDf: DataFrame): DataFrame = {
     val ty = col("event_type")
     val base = routedDf.filter(
       ty.isin("kill", "kill_assist", "damage", "spawned", "role_change", "round_start", "round_win")
     )
 
-    // ---- state rows: class changes + (active) kill-target entry creation
-    val spawnState = base
-      .filter(ty.isin("spawned", "role_change") && col("class_str").isNotNull)
-      .select(
-        col("doc_id"),
-        col("sid").as("key"),
-        col("line_no"),
-        col("class_str").as("cls"),
-        lit(1).as("is_state"),
-        lit(null.asInstanceOf[String]).as("role"),
-        lit(null.asInstanceOf[Long]).as("other"),
-        lit(null.asInstanceOf[Long]).as("dmg")
-      )
+    def entry(key: Column, cls: Column, isState: Column, role: Column, other: Column, dmg: Column) =
+      struct(key.as("key"), cls.as("cls"), isState.as("is_state"), role.as("role"),
+        other.as("other"), dmg.as("dmg"))
+
+    val nullS = lit(null.asInstanceOf[String])
+    val nullL = lit(null.asInstanceOf[Long])
 
     val killTargetSid =
       when(col("target_kind") === "player", player_subject_id(col("target_raw")))
@@ -404,41 +403,6 @@ object TfPipeline {
         .when(col("target_kind") === "team", lit((graft.expr.Steam.K_TEAM << 32) | 2L))
         .otherwise(lit(graft.expr.Steam.K_SYSTEM << 32))
 
-    val kills = base.filter(ty === "kill" && col("active")).withColumn("tsid", killTargetSid)
-
-    val killState = kills.select(
-      col("doc_id"),
-      col("tsid").as("key"),
-      col("line_no"),
-      lit(null.asInstanceOf[String]).as("cls"),
-      lit(1).as("is_state"),
-      lit(null.asInstanceOf[String]).as("role"),
-      lit(null.asInstanceOf[Long]).as("other"),
-      lit(null.asInstanceOf[Long]).as("dmg")
-    )
-
-    // ---- consumer rows
-    def consumer(df: DataFrame, key: Column, role: String, other: Column, dmg: Column) =
-      df.select(
-        col("doc_id"),
-        key.as("key"),
-        col("line_no"),
-        lit(null.asInstanceOf[String]).as("cls"),
-        lit(0).as("is_state"),
-        lit(role).as("role"),
-        other.as("other"),
-        dmg.as("dmg")
-      )
-
-    val killTargetC = consumer(kills, col("tsid"), "kt", col("sid"), lit(null.asInstanceOf[Long]))
-    val killAttackerC = consumer(kills, col("sid"), "ka", col("tsid"), lit(null.asInstanceOf[Long]))
-    val assistC = consumer(
-      base.filter(ty === "kill_assist" && col("active")),
-      against_subject_id(col("target_raw")),
-      "at",
-      col("sid"),
-      lit(null.asInstanceOf[Long])
-    )
     // a missing `against` defaults the target to System("unknown") in the
     // reference (player.rs:19-21 default attr); its class resolves only if a
     // kill ever created a System entry
@@ -446,22 +410,47 @@ object TfPipeline {
       against_subject_id(col("target_raw")),
       lit(graft.expr.Steam.K_SYSTEM << 32)
     )
-    val damageC = consumer(
-      base
-        .filter(ty === "damage" && col("active"))
-        .filter(col("dmg") > 0 && col("dmg") < 1500),
-      damageTarget,
-      "dt",
-      col("sid"),
-      col("dmg")
-    )
 
-    val union = spawnState
-      .unionByName(killState)
-      .unionByName(killTargetC)
-      .unionByName(killAttackerC)
-      .unionByName(assistC)
-      .unionByName(damageC)
+    val contribs =
+      // class change: one state entry
+      when(
+        ty.isin("spawned", "role_change") && col("class_str").isNotNull,
+        array(entry(col("sid"), col("class_str"), lit(1), nullS, nullL, nullL))
+      )
+        // active kill: target-entry creation (state) + kill/death consumers
+        .when(
+          ty === "kill" && col("active"),
+          array(
+            entry(col("tsid"), nullS, lit(1), nullS, nullL, nullL),
+            entry(col("tsid"), nullS, lit(0), lit("kt"), col("sid"), nullL),
+            entry(col("sid"), nullS, lit(0), lit("ka"), col("tsid"), nullL)
+          )
+        )
+        .when(
+          ty === "kill_assist" && col("active"),
+          array(entry(against_subject_id(col("target_raw")), nullS, lit(0), lit("at"), col("sid"), nullL))
+        )
+        .when(
+          ty === "damage" && col("active") && col("dmg") > 0 && col("dmg") < 1500,
+          array(entry(damageTarget, nullS, lit(0), lit("dt"), col("sid"), col("dmg")))
+        )
+        .otherwise(array().cast(
+          "array<struct<key:bigint,cls:string,is_state:int,role:string,other:bigint,dmg:bigint>>"
+        ))
+
+    val union = base
+      .withColumn("tsid", killTargetSid)
+      .select(col("doc_id"), col("line_no"), explode(contribs).as("e"))
+      .select(
+        col("doc_id"),
+        col("e.key").as("key"),
+        col("line_no"),
+        col("e.cls").as("cls"),
+        col("e.is_state").as("is_state"),
+        col("e.role").as("role"),
+        col("e.other").as("other"),
+        col("e.dmg").as("dmg")
+      )
 
     // ---- as-of lookups per (doc, key): state rows sort before consumers at
     // equal line_no (the kill's own target-entry insert precedes its class
