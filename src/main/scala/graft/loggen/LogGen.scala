@@ -60,9 +60,14 @@ object LogGen {
       userId: Int,
       account: Long,
       team: String,
-      var clazz: String
+      var clazz: String,
+      isBot: Boolean = false
   ) {
-    def raw: String = s"$name<$userId><[U:1:$account]><$team>"
+    // bots carry the literal BOT steam field (SubjectData::Bot path,
+    // common.rs:318-321): interned by numeric user_id, excluded from
+    // per-player output
+    def raw: String =
+      if (isBot) s"$name<$userId><BOT><$team>" else s"$name<$userId><[U:1:$account]><$team>"
   }
 
   /** All lines of one synthetic match log (without the "L " prefix). */
@@ -88,7 +93,8 @@ object LogGen {
         userId = 2 + i,
         account = 1000000L + rng.nextInt(900000000) + i,
         team = if (i % 2 == 0) "Red" else "Blue",
-        clazz = classes(rng.nextInt(classes.length))
+        clazz = classes(rng.nextInt(classes.length)),
+        isBot = rng.chance(0.12) // ~1 bot per lobby: Bot subject-kind path
       )
     }.toArray
     val medics = players.filter(_.clazz == "Medic")
@@ -225,7 +231,7 @@ object LogGen {
           case 5 => emit(s""""${p.raw}" triggered "shot_fired" (weapon "scattergun")""")
         }
       } else if (r < 0.94) { // junk / edge lines
-        rng.nextInt(6) match {
+        rng.nextInt(10) match {
           case 0 => out += "short junk" // envelope Skip (<24 chars)
           case 1 => emit(s""""${anyPlayer().raw}" triggered "mysterious_event" (x "1")""") // unknown
           case 2 => emit(s"""World triggered "Game_Paused"""")
@@ -245,6 +251,20 @@ object LogGen {
             emit(s""""${a.raw}" killed ${'"'}${v.raw.stripSuffix(">")}""")
             t += 70
             emit(s""""${anyPlayer().raw}" spawned as "Scout"""") // consumed+dropped
+          case 6 =>
+            // malformed player subject (no <uid><steam><team> parts):
+            // MalformedPlayer interning, excluded from per-player output
+            emit(s""""mystery entity ${rng.nextInt(10)}" say "who am i"""")
+          case 7 =>
+            // medic_death without ubercharge: charge defaults to 0
+            emit(s""""${anyPlayer().raw}" triggered "medic_death" against "${anyPlayer().raw}" (healing "${rng.nextInt(500)}")""")
+          case 8 =>
+            // empty chat message (empty quoted text is a legal say)
+            emit(s""""${anyPlayer().raw}" say ""${""}""")
+          case 9 =>
+            // console team chat: handled type, non-player subject -> dropped
+            // by the chat module's player filter (chat.rs:59-61)
+            emit(""""Console<0><Console><Console>" say_team "server team msg"""")
         }
       } else { // disconnect/reconnect churn
         val p = anyPlayer()

@@ -236,10 +236,13 @@ object TfPipeline {
         min(col("line_no")).as("first_line")
       )
       .withColumn("kind", shiftrightunsigned(col("sid"), 32).cast("int"))
+      // sid kinds 1 (player) AND 2 (bot) both come from player-quoted raw
+      // subjects; SubjectData splits the name for both (common.rs:313-329:
+      // Bot { name, user_id, team } keeps the SPLIT name, not the raw)
       .withColumn(
         "data_kind",
         when(
-          col("kind") === 1,
+          col("kind").isin(1, 2),
           when(sp.isNull, 3)
             .when(!uidOk, 3)
             .when(acct.isNull, 2)
@@ -248,7 +251,7 @@ object TfPipeline {
       )
       .withColumn(
         "name",
-        when(col("kind") === 1 && col("data_kind").isin(1, 2), sp.getField("name"))
+        when(col("kind").isin(1, 2) && col("data_kind").isin(1, 2), sp.getField("name"))
           .otherwise(col("first_subject"))
       )
       .withColumn(

@@ -50,6 +50,9 @@ class HandlersSpec extends AnyFunSuite {
       .toMap
     val exp = routed
       .filter(col("event_type") === "damage" && col("dmg").isNotNull)
+      // composePerPlayer keys on real players only (bots/system excluded,
+      // like the reference's per_player map)
+      .filter(shiftrightunsigned(col("sid"), 32) === 1)
       .groupBy("doc_id", "sid")
       .agg(max(col("dmg")).as("m"))
       .collect()

@@ -41,7 +41,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful build counts via mapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-stream2").toString
-    LogGen.generate(spark, 2, 300, 42L).toDF().write.mode("overwrite").parquet(dir)
+    // enough docs that at least one lobby has a medic emitting
+    // first_heal/charge_ready events
+    LogGen.generate(spark, 6, 400, 42L).toDF().write.mode("overwrite").parquet(dir)
     val env = StreamingPipeline.envelopeStream(spark, dir)
     val q = StreamingPipeline
       .memorySink(StreamingPipeline.buildCounts(spark, env), "builds", complete = false)
