@@ -131,7 +131,30 @@ object Bench {
       "q_minhash_sig" -> (() => force(SparkEntry.queries("q_minhash_sig")(spark, sfDir))),
       "q_ngram_jaccard" -> (() => force(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir))),
       "q_cosine_topk" -> (() => force(SparkEntry.queries("q_cosine_topk")(spark, sfDir))),
-      "q_dedup_exact" -> (() => force(SparkEntry.queries("q_dedup_exact")(spark, sfDir)))
+      "q_dedup_exact" -> (() => force(SparkEntry.queries("q_dedup_exact")(spark, sfDir))),
+      "q_langid" -> (() => force(SparkEntry.queries("q_langid")(spark, sfDir))),
+      "tf_ann_lsh" -> (() => force {
+        import org.apache.spark.sql.functions._
+        // size-aware parametrization (the sf-independent oracle query fixes
+        // bits=6, which over-fills buckets at larger corpora)
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val n = e.count()
+        val bits = math.max(6, (math.log(n / 12.0) / math.log(2)).ceil.toInt)
+        graft.ops.Similarity.lshTopK(e, 64, bits, 3, tables = 4, maxBucket = 200)
+      }),
+      // production hash paths (xxhash64) vs the md5-bound oracle twins above
+      "tf_simhash_fast" -> (() => force {
+        import org.apache.spark.sql.functions._
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), graft.ops.Dedup.simhash60(split(col("text"), " ")).as("h"))
+      }),
+      "tf_lsh_candidates_fast" -> (() => force {
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), graft.ops.Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+        graft.ops.Dedup.lshCandidates(docs, col("doc_id"), col("sh"), 8, 2)
+      })
     )
 
     // one warmup of the flagship to JIT/codegen-compile before timing

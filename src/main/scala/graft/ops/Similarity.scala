@@ -56,19 +56,27 @@ object Similarity {
     (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L
   }
 
-  /** Integer-quantized random-hyperplane bucket for one table: embeddings
-    * quantized to floor(v*1000) longs, dotted with integer plane weights --
-    * EXACT integer arithmetic, so the bucket id is bit-identical in any
-    * engine (no float-summation-order hazard at the sign boundary). */
-  def rhpBucketQ(vec: Column, dim: Int, bits: Int, table: Int): Column = {
-    def q(i: Int): Column = floor(element_at(vec, i + 1).cast("double") * 1000).cast("long")
+  /** floor(v*1000) integer quantization of an embedding (compute ONCE per
+    * row and feed every table/bit projection -- the raw expression would
+    * otherwise be re-evaluated tables*bits times per dimension). */
+  def quantize1000(vec: Column): Column =
+    transform(vec, v => floor(v.cast("double") * 1000).cast("long"))
+
+  /** Integer-quantized random-hyperplane bucket for one table over a
+    * pre-quantized vector: EXACT integer arithmetic, so the bucket id is
+    * bit-identical in any engine (no float-summation-order hazard at the
+    * sign boundary). */
+  def rhpBucketQ(qvec: Column, dim: Int, bits: Int, table: Int): Column =
     (0 until bits)
       .map { b =>
-        val proj = (0 until dim).map(i => q(i) * lit(planeWeight(table, b, i))).reduce(_ + _)
+        // plane as ONE array literal + zip_with/aggregate: a constant-size
+        // expression tree regardless of dim (an unrolled dim*bits*tables sum
+        // spends tens of seconds in Catalyst/janino before the first row)
+        val w = typedLit((0 until dim).map(i => planeWeight(table, b, i)))
+        val proj = aggregate(zip_with(qvec, w, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
         when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
       }
       .reduce(_.bitwiseOR(_))
-  }
 
   /** Multi-table LSH ANN (L independent hash tables OR-amplified): candidates
     * are same-bucket pairs in ANY table (posexplode -> equi-join per (table,
@@ -87,12 +95,14 @@ object Similarity {
       maxBucket: Int = 1000
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val buckets = df.select(
-      col("id"),
-      col("vec"),
-      posexplode(array((0 until tables).map(t => rhpBucketQ(col("vec"), dim, bits, t)): _*))
-        .as(Seq("t", "bucket"))
-    )
+    val buckets = df
+      .withColumn("qv", quantize1000(col("vec")))
+      .select(
+        col("id"),
+        col("vec"),
+        posexplode(array((0 until tables).map(t => rhpBucketQ(col("qv"), dim, bits, t)): _*))
+          .as(Seq("t", "bucket"))
+      )
     val wB = Window.partitionBy("t", "bucket")
     val bounded = buckets
       .withColumn("bsize", count(lit(1)).over(wB))

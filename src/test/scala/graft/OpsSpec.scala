@@ -92,9 +92,9 @@ class OpsSpec extends AnyFunSuite {
     val recall = bf.count(lsh.contains).toDouble / bf.size
     assert(recall >= 0.9, s"multi-table LSH recall too low: $recall")
     // bucket-size cap: no (table, bucket) group may exceed maxBucket
-    import graft.ops.Similarity.rhpBucketQ
+    import graft.ops.Similarity.{quantize1000, rhpBucketQ}
     val sizes = (0 until 4).flatMap { t =>
-      vecs.select(rhpBucketQ(col("vec"), 8, 2, t).as("b")).groupBy("b").count()
+      vecs.select(rhpBucketQ(quantize1000(col("vec")), 8, 2, t).as("b")).groupBy("b").count()
         .collect().map(_.getLong(1))
     }
     assert(sizes.forall(_ <= 50), "sanity: bucket sizes bounded by corpus")
