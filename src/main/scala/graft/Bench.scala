@@ -114,17 +114,27 @@ object Bench {
       } catch { case _: Throwable => (-1.0, -1.0) }
     }
 
-    // routed store for the store-based aggregate leg (written outside timing;
-    // the write itself is timed separately as tf_route_write)
-    val storeDir = s"${sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft-bench-store")}/r"
+    // routed store for the store-based aggregate leg (written outside the
+    // headline timings; the committed write itself is timed below as
+    // tf_store_write into fresh dirs)
+    val storeBase = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft-bench-store")
+    val storeDir = s"$storeBase/r"
     val routable = TfPipeline.routable(TfPipeline.envelope(input))
-    graft.pipeline.Route.writeRouted(spark, routable, storeDir, Route0.fp(input))
+    graft.pipeline.Route.writeRouted(spark, routable, storeDir, graft.pipeline.Route.fingerprint(input))
+    val wCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
     val headline: Seq[(String, () => Unit)] = Seq(
       "tf_pipeline" -> (() => pipelineOnce(spark, input)),
       "tf_pipeline_store" -> (() => aggregatesFromStore(spark, storeDir)),
       "tf_envelope" -> (() => force(TfPipeline.envelope(input))),
       "tf_route_write" -> (() => force(TfPipeline.routable(TfPipeline.envelope(input)))),
+      // the COMMITTED store write (partitioned parquet + audit + manifest),
+      // a fresh dir per iteration so the manifest resume no-op can't hide it
+      "tf_store_write" -> (() => {
+        val d = s"$storeBase/w${wCounter.incrementAndGet()}"
+        graft.pipeline.Route.writeRouted(spark, routable, d, graft.pipeline.Route.fingerprint(input))
+        ()
+      }),
       "q1_agg" -> (() => force(SparkEntry.queries("q1_agg")(spark, sfDir))),
       "q_asof_join" -> (() => force(SparkEntry.queries("q_asof_join")(spark, sfDir))),
       "q_sessionize" -> (() => force(SparkEntry.queries("q_sessionize")(spark, sfDir))),
@@ -163,7 +173,8 @@ object Bench {
 
     val results = headline.map { case (name, f) => name -> median(f) }
 
-    // throughput leg: a larger table (default 1M rows) so seq/s reflects
+    // throughput leg: a larger generated table (default 8000 docs = ~4M
+    // rows, the BASELINE.md scaling-table shape) so seq/s reflects
     // streaming throughput, not the ~10-stage barrier floor of a small input
     val (bigRows, bigSec) =
       try {
@@ -192,9 +203,4 @@ object Bench {
     spark.stop()
   }
 
-  private object Route0 {
-    /** Cheap per-input fingerprint so re-running bench on identical input
-      * resumes the store write as a no-op. */
-    def fp(input: DataFrame): String = graft.pipeline.Route.fingerprint(input)
-  }
 }

@@ -105,10 +105,12 @@ object Dedup {
     *
     * `maxDf` caps the document frequency of join-key shingles: a shingle in
     * d documents contributes d^2 join rows, so one stop-word-ish shingle is
-    * an O(n^2) scale-killer at 100 TB. Shingles with df > maxDf are dropped
-    * from the JOIN ONLY -- per-doc sizes stay exact, so the jaccard of pairs
-    * whose overlap survives is exact, and pairs connected only through
-    * ubiquitous (hence uninformative) shingles are pruned. */
+    * an O(n^2) scale-killer at 100 TB. It is an APPROXIMATION knob: shingles
+    * with df > maxDf are dropped from the join, so (a) pairs connected only
+    * through ubiquitous shingles disappear, and (b) pairs that also share a
+    * dropped shingle have their intersection undercounted (sizes stay exact,
+    * so their jaccard is understated). Set maxDf above the df of any shingle
+    * whose loss matters; Int.MaxValue recovers exact jaccard. */
   def ngramJaccardPairs(
       df: DataFrame,
       id: Column,

@@ -97,21 +97,29 @@ object JsonEmit {
       to_json(struct(when(size(col("chat")) > 0, col("chat")).as("chat"))).as("global_json")
     )
 
+    // full-outer on the doc universe: a doc with no interned players (all
+    // bots/console) still emits `[{...}, {}]` like main.rs, and one with no
+    // chat emits `[{}, {...}]`
     perDoc
-      .join(globals, Seq("doc_id"), "left")
+      .join(globals, Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
         concat(
           lit("["),
           coalesce(col("global_json"), lit("{}")),
           lit(","),
-          col("per_player_json"),
+          coalesce(col("per_player_json"), lit("{}")),
           lit("]")
         ).as("json")
       )
   }
 
-  /** Convenience: full routed frame -> per-doc reference JSON. */
+  /** Convenience: full routed frame -> per-doc reference JSON. Every doc
+    * with at least one surviving handled line emits a row. */
   def emit(routed: DataFrame, dim: DataFrame): DataFrame =
-    mainJson(TfPipeline.perPlayer(routed, dim), TfPipeline.chat(routed, dim))
+    routed
+      .select(col("doc_id"))
+      .distinct()
+      .join(mainJson(TfPipeline.perPlayer(routed, dim), TfPipeline.chat(routed, dim)), Seq("doc_id"), "left")
+      .withColumn("json", coalesce(col("json"), lit("[{},{}]")))
 }

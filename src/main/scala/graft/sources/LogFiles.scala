@@ -85,8 +85,12 @@ object LogFiles {
         col("file").as("source"),
         posexplode(split(body, "\nL ")).as(Seq("line_no", "line0"))
       )
-      // trim_end_matches("\n") applies only to the final fragment
+      // trim_end_matches("\n") applies only to the final fragment; and when
+      // the content ends exactly with the "\nL " sentinel the reference
+      // iterator yields NO trailing fragment (start == len), so the split's
+      // trailing empty string is dropped to match splitLines
       .withColumn("max_line", max(col("line_no")).over(wDoc))
+      .filter(!(col("line_no") === col("max_line") && col("line0") === ""))
       .withColumn(
         "line",
         when(col("line_no") === col("max_line"), regexp_replace(col("line0"), "\\n+\\z", ""))

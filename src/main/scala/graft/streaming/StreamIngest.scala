@@ -53,10 +53,14 @@ object StreamIngest {
         min(col("line_no")).as("min_line"),
         max(col("line_no")).as("max_line")
       )
-      .withColumn("batch", lit(batchId))
-    audit.write.mode("append").parquet(s"$dir/audit")
+    // audit rows land in a PER-BATCH partition dir with overwrite, so a
+    // batch replayed after a crash-before-manifest re-writes (not
+    // duplicates) its lineage -- the audit table is exactly-once like the
+    // data ('batch' comes back as the partition column on read)
+    audit.write.mode("overwrite").parquet(s"$dir/audit/batch=$batchId")
 
-    val counts = audit
+    // one aggregation: derive the manifest counts from the rows just written
+    val counts = spark.read.parquet(s"$dir/audit/batch=$batchId")
       .select(col("route"), col("rows"))
       .collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""")

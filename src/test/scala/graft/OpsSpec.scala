@@ -91,13 +91,13 @@ class OpsSpec extends AnyFunSuite {
     // candidate generation recovers (single-table collapses well below this)
     val recall = bf.count(lsh.contains).toDouble / bf.size
     assert(recall >= 0.9, s"multi-table LSH recall too low: $recall")
-    // bucket-size cap: no (table, bucket) group may exceed maxBucket
-    import graft.ops.Similarity.{quantize1000, rhpBucketQ}
-    val sizes = (0 until 4).flatMap { t =>
-      vecs.select(rhpBucketQ(quantize1000(col("vec")), 8, 2, t).as("b")).groupBy("b").count()
-        .collect().map(_.getLong(1))
-    }
-    assert(sizes.forall(_ <= 50), "sanity: bucket sizes bounded by corpus")
+    // the bucket cap is real behavior, not decoration: with maxBucket = 0
+    // every bucket is oversized and dropped, so no candidates survive
+    val capped = Similarity.lshTopK(vecs, 8, 2, 3, tables = 4, maxBucket = 0).count()
+    assert(capped == 0L, "maxBucket=0 must drop every bucket")
+    // and a tight cap strictly reduces the candidate set vs a loose one
+    val tight = Similarity.lshTopK(vecs, 8, 2, 3, tables = 4, maxBucket = 10).count()
+    assert(tight <= lsh.size.toLong, "tight cap must not add results")
   }
 
   test("multimodal stub codec: deterministic features, histogram sums to bytes") {
