@@ -38,6 +38,11 @@ class GoldenPipelineSpec extends AnyFunSuite {
     runGolden(7L, 4, 350)
   }
 
+  test("pipeline matches simulator on further seeds (differential fuzz)") {
+    runGolden(13L, 3, 250)
+    runGolden(99L, 3, 250)
+  }
+
   private def runGolden(Seed: Long, NDocs: Int, Lines: Int): Unit = {
     spark.sparkContext.setLogLevel("WARN")
     val input = LogGen.generate(spark, NDocs, Lines, Seed).toDF()
