@@ -103,11 +103,11 @@ object Bench {
     }
 
     /** Median of up to `iters` runs (the host shows up to 3x run-to-run
-      * variance); expensive queries (>15 s first run) get 2, >40 s get 1. */
+      * variance); expensive queries (>10 s first run) get 2, >30 s get 1. */
     def median(f: () => Unit): (Double, Double) = {
       try {
         val first = timed(f())
-        val n = if (first > 40) 1 else if (first > 15) 2 else iters
+        val n = if (first > 30) 1 else if (first > 10) 2 else iters
         val all = first +: (1 until n).map(_ => timed(f()))
         val s = all.sorted
         (s(s.length / 2), s.head)
