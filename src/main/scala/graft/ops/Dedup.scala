@@ -13,6 +13,23 @@ object Dedup {
 
   import TextOps.stableHash60
 
+  /** Drop rows whose key appears more than `maxN` times. Scale-safe shape:
+    * the over-cap key set is computed with a hash aggregate (map-side
+    * partials, AQE-splittable -- no per-key window sort, no single-task
+    * straggler when one key has 10M rows) and is TINY by construction (only
+    * keys beyond the cap), so the removal is a broadcast anti-join that
+    * stays map-side. Used to bound LSH band buckets and shingle document
+    * frequency before any self-join. */
+  private[ops] def dropOverCapKeys(df: DataFrame, keys: Seq[String], maxN: Long): DataFrame = {
+    if (maxN == Long.MaxValue || maxN == Int.MaxValue.toLong) return df
+    val over = df
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__key_n"))
+      .filter(col("__key_n") > maxN)
+      .drop("__key_n")
+    df.join(broadcast(over), keys, "left_anti")
+  }
+
   /** Exact dedup by content hash: one row per distinct key with the kept
     * (minimum) id and the duplicate count. Map-side partial aggregation
     * applies; the shuffle key is the 128-bit md5, so skew is impossible. */
@@ -47,14 +64,26 @@ object Dedup {
   /** MinHash LSH candidate pairs: signatures banded (bandSize rows/band);
     * docs sharing any band bucket become candidates. Returns (id_a, id_b)
     * with id_a < id_b, distinct. The band join is an equi-join on
-    * (band_index, band_hash) -- a co-partitioned shuffle, not a cross join. */
+    * (band_index, band_hash) -- a co-partitioned shuffle, not a cross join.
+    *
+    * `maxBucket` bounds the self-join: a band bucket holding d ids yields
+    * d^2 join rows in one task, and near-identical boilerplate docs (the
+    * common case in web-scale dedup) create exactly such hot buckets.
+    * Buckets with more than `maxBucket` ids are dropped BEFORE the join
+    * (broadcast anti-join on the tiny over-cap bucket set), so per-bucket
+    * work is bounded by construction. RECALL KNOB: ids in a dropped bucket
+    * can still pair through their other bands; pairs connected ONLY through
+    * over-cap buckets are lost -- set the cap above the largest duplicate
+    * cluster that must be detected, or deduplicate such mega-clusters with
+    * [[exactByKey]] first (they are near-exact duplicates by definition). */
   def lshCandidates(
       df: DataFrame,
       id: Column,
       shingleCol: Column,
       k: Int,
       bandSize: Int,
-      fast: Boolean = true
+      fast: Boolean = true,
+      maxBucket: Int = 1000
   ): DataFrame = {
     val sigs = minhashSignature(shingleCol, k, fast)
     val nBands = k / bandSize
@@ -67,9 +96,13 @@ object Dedup {
       if (fast) hash(parts: _*).cast("string")
       else concat_ws("|", parts.map(_.cast("string")): _*)
     }
-    val banded = sigDf.select(
-      col("id"),
-      posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "band_hash"))
+    val banded = dropOverCapKeys(
+      sigDf.select(
+        col("id"),
+        posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "band_hash"))
+      ),
+      Seq("band", "band_hash"),
+      maxBucket.toLong
     )
     banded
       .as("l")
@@ -81,22 +114,30 @@ object Dedup {
 
   /** 60-bit SimHash over the word multiset: per bit, sum +-1 weighted by
     * word frequency; bit set where the sum is positive. `fast=true` hashes
-    * with native xxhash64; the default md5 path is DuckDB-reproducible. */
+    * with native xxhash64; the default md5 path is DuckDB-reproducible.
+    *
+    * Single-pass formulation: ONE `aggregate()` with a 60-long vote-array
+    * accumulator (bit b tested as `h & 2^b`, so no variable shifts), then
+    * one zip to assemble the hash -- the word-hash array is traversed once,
+    * not 60 times as with per-bit aggregates (~60x less expression work on
+    * the hot path; identical output). */
   def simhash60(words: Column, fast: Boolean = true): Column = {
-    // bits masked/limited to 60 (sign-safe shifts below)
+    // bits masked/limited to 60 (sign-safe arithmetic below)
     val hashes =
       if (fast) transform(words, w => xxhash64(w).bitwiseAND(lit(0xfffffffffffffffL)))
       else transform(words, w => stableHash60(w))
-    (0 until 60)
-      .map { bit =>
-        val votes = aggregate(
-          hashes,
-          lit(0L),
-          (acc, h) => acc + when(shiftrightunsigned(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
-        )
-        when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-      }
-      .reduce(_.bitwiseOR(_))
+    val pows = typedLit((0 until 60).map(b => 1L << b))
+    val zeros = typedLit(Seq.fill(60)(0L))
+    val votes = aggregate(
+      hashes,
+      zeros,
+      (acc, h) => zip_with(acc, pows, (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L))
+    )
+    aggregate(
+      zip_with(votes, pows, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit)
+    )
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share at least
@@ -117,14 +158,14 @@ object Dedup {
       shingleCol: Column,
       maxDf: Int = 10000
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ex = df
       .select(id.as("id"), explode(array_distinct(shingleCol)).as("sh"))
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
-    val joinable = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    // df cap via hash-aggregate + broadcast anti-join of the (tiny) over-cap
+    // shingle blacklist -- NOT a count-over-window: a window would sort-
+    // exchange the full exploded shingle table and put a df=10M stop-word
+    // shingle into one straggler task at 100 TB scale
+    val joinable = dropOverCapKeys(ex, Seq("sh"), maxDf.toLong)
     val inter = joinable
       .as("l")
       .join(joinable.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))

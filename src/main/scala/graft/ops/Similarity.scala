@@ -103,10 +103,10 @@ object Similarity {
         posexplode(array((0 until tables).map(t => rhpBucketQ(col("qv"), dim, bits, t)): _*))
           .as(Seq("t", "bucket"))
       )
-    val wB = Window.partitionBy("t", "bucket")
-    val bounded = buckets
-      .withColumn("bsize", count(lit(1)).over(wB))
-      .filter(col("bsize") <= maxBucket)
+    // over-cap buckets removed via hash-aggregate + broadcast anti-join
+    // (same rows as a count-over-(t,bucket) window filter, but no sort
+    // exchange and no single-task hot bucket)
+    val bounded = Dedup.dropOverCapKeys(buckets, Seq("t", "bucket"), maxBucket.toLong)
     val cands = bounded
       .as("l")
       .join(bounded.select(col("t"), col("bucket"), col("id").as("rid")).as("r"), Seq("t", "bucket"))

@@ -100,6 +100,57 @@ class OpsSpec extends AnyFunSuite {
     assert(tight <= lsh.size.toLong, "tight cap must not add results")
   }
 
+  test("lshCandidates: hot band bucket is bounded by maxBucket before the self-join") {
+    // web-scale dedup's common pathology: a large cluster of identical
+    // boilerplate docs -> every band bucket holds the whole cluster and an
+    // unbounded self-join materializes d^2 rows in one task
+    val clones = (0 until 2000)
+      .map(i => (i.toLong, "identical boilerplate text repeated across the entire crawl segment"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+    val bounded = Dedup.lshCandidates(clones, col("doc_id"), col("sh"), 8, 2, maxBucket = 100)
+    assert(bounded.count() == 0L, "a 2000-doc bucket must be dropped at cap 100")
+
+    // sanity on a small mixed corpus: a cap above every bucket size is a
+    // no-op (same pairs as effectively-unbounded)
+    val withSh = docs.select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+    val capped = Dedup.lshCandidates(withSh, col("doc_id"), col("sh"), 8, 2, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = Dedup.lshCandidates(withSh, col("doc_id"), col("sh"), 8, 2, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == loose, "cap above bucket sizes must not change candidates")
+
+    // the mega-cluster is still dedupable by the exact pass (the documented
+    // recall-knob mitigation): one keep-id + 1999 duplicates
+    val exact = Dedup.exactByKey(clones, col("doc_id"), col("sh").cast("string")).collect()
+    assert(exact.length == 1 && exact.head.getLong(2) == 2000L)
+  }
+
+  test("simhash single-pass fold equals the per-bit formulation") {
+    // per-bit reference formulation (the pre-optimization shape), inline
+    def perBit(words: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val hashes = transform(words, w => xxhash64(w).bitwiseAND(lit(0xfffffffffffffffL)))
+      (0 until 60).map { bit =>
+        val votes = aggregate(
+          hashes,
+          lit(0L),
+          (acc, h) =>
+            acc + when(shiftrightunsigned(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+        )
+        when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    val both = docs
+      .select(
+        col("doc_id"),
+        Dedup.simhash60(split(col("text"), " ")).as("fold"),
+        perBit(split(col("text"), " ")).as("ref")
+      )
+      .collect()
+    assert(both.nonEmpty)
+    for (r <- both) assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")
+  }
+
   test("multimodal stub codec: deterministic features, histogram sums to bytes") {
     val media = Multimodal.mediaFromDocuments(
       docs.select(col("doc_id"), col("text"))
