@@ -30,9 +30,16 @@ object ParseLog {
     val stdout = new java.io.PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
 
     val input = LogFiles.readLogs(spark, path)
-    val routed = TfPipeline.routed(TfPipeline.envelope(input)).cache()
+    val (docs, routed0) = TfPipeline.routedWithUniverse(TfPipeline.envelope(input))
+    val routed = routed0.cache()
     val dim = TfPipeline.subjectDim(routed)
-    val out = JsonEmit.emit(routed, dim).orderBy("doc_id").collect()
+    val out = JsonEmit.emit(docs, routed, dim).orderBy("doc_id").collect()
+
+    // docs the reference's parse() would abort (hard error -> main.rs exits
+    // with the error and prints nothing): report on stderr like main_error
+    val aborted = input.select("doc_id").distinct()
+      .join(docs, Seq("doc_id"), "left_anti").collect().map(_.getString(0))
+    aborted.sorted.foreach(d => System.err.println(s"[parse error] $d: hard parse error, no output"))
 
     for (row <- out) {
       val json = row.getString(1)

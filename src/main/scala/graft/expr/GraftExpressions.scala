@@ -106,6 +106,20 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Raw-line date string -> epoch seconds at fixed UTC (kernel parity with
+    * parse_raw_line's `ts`); null on invalid. Unlike to_timestamp, never
+    * consults spark.sql.session.timeZone. */
+  case class DateEpoch(child: Expression) extends UnaryKernel {
+    override def dataType: DataType = LongType
+    override protected def kernelCall(c: String): String =
+      s"graft.expr.Kernels.dateEpochBoxed($c)"
+    override protected def boxedJavaType: String = "java.lang.Long"
+    override protected def unbox(tmp: String): String = s"$tmp.longValue()"
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.dateEpochBoxed(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class ParseF32(child: Expression) extends UnaryKernel {
     override def dataType: DataType = FloatType
     override protected def kernelCall(c: String): String = s"graft.expr.Kernels.parseF32Boxed($c)"
@@ -254,6 +268,7 @@ object GraftExpressions {
     col(ClampInt(ex(c), Int.MinValue.toLong, Int.MaxValue.toLong))
   def clamp_i64(c: Column): Column = col(ClampInt(ex(c), Long.MinValue, Long.MaxValue))
   def parse_f32(c: Column): Column = col(ParseF32(ex(c)))
+  def date_epoch(c: Column): Column = col(DateEpoch(ex(c)))
   def parse_position(c: Column): Column = col(ParsePosition(ex(c)))
   def class_normalize(c: Column): Column = col(ClassNormalize(ex(c)))
   def subject_id(kind: Column, subject: Column): Column = col(SubjectIdExpr(ex(kind), ex(subject)))

@@ -28,6 +28,15 @@ object Kernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(cps)
   }
 
+  /** "MM/DD/YYYY - HH:MM:SS" -> epoch seconds (UTC, timezone-independent);
+    * null on malformed/invalid calendar dates. The store-read path re-derives
+    * `ts` with this so results never depend on spark.sql.session.timeZone. */
+  def dateEpochBoxed(s: UTF8String): java.lang.Long = {
+    if (s == null) return null
+    val ep = LineParser.dateEpoch(s.toString)
+    if (ep == Long.MinValue) null else java.lang.Long.valueOf(ep)
+  }
+
   // ---- envelope ----------------------------------------------------------
 
   /** struct(status tinyint, date string, kind tinyint, subject string,

@@ -462,6 +462,14 @@ object LineParser {
     if (mo < 1 || mo > 12 || dy < 1 || dy > 31 || y1 < 0 || y2 < 0 ||
       h < 0 || h > 23 || mi < 0 || mi > 59 || se < 0 || se > 59) return Long.MinValue
     val y = y1 * 100 + y2
+    // days-in-month validation (chrono NaiveDate::from_ymd does this; an
+    // invalid calendar date panics the reference's process path)
+    val dim = mo match {
+      case 2 => if ((y % 4 == 0 && y % 100 != 0) || y % 400 == 0) 29 else 28
+      case 4 | 6 | 9 | 11 => 30
+      case _ => 31
+    }
+    if (dy > dim) return Long.MinValue
     // days-from-civil (Howard Hinnant), proleptic Gregorian
     val yy = if (mo <= 2) y - 1 else y
     val era = (if (yy >= 0) yy else yy - 399) / 400

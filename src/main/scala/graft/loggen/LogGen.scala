@@ -231,7 +231,7 @@ object LogGen {
           case 5 => emit(s""""${p.raw}" triggered "shot_fired" (weapon "scattergun")""")
         }
       } else if (r < 0.94) { // junk / edge lines
-        rng.nextInt(10) match {
+        rng.nextInt(11) match {
           case 0 => out += "short junk" // envelope Skip (<24 chars)
           case 1 => emit(s""""${anyPlayer().raw}" triggered "mysterious_event" (x "1")""") // unknown
           case 2 => emit(s"""World triggered "Game_Paused"""")
@@ -265,6 +265,18 @@ object LogGen {
             // console team chat: handled type, non-player subject -> dropped
             // by the chat module's player filter (chat.rs:59-61)
             emit(""""Console<0><Console><Console>" say_team "server team msg"""")
+          case 10 =>
+            // ADJACENT-ERROR CHAIN (lib.rs:81-99 sequential consumption):
+            // errA consumes errB (B's own error is never evaluated; raw-date
+            // gap >60s -> both silently dropped), then the following line is
+            // processed NORMALLY -- a one-step-lookbehind formulation would
+            // wrongly treat B as consuming it and hard-error the doc
+            emit(s""""${anyPlayer().raw}" killed ${'"'}chain-a""")
+            t += 70
+            emit(s""""${anyPlayer().raw}" killed ${'"'}chain-b""")
+            t += 5
+            // unhandled event: survives routing, no module-stats impact
+            emit(s""""${anyPlayer().raw}" picked up item "medkit_small"""")
         }
       } else { // disconnect/reconnect churn
         val p = anyPlayer()

@@ -15,17 +15,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   *     omitted when it equals its Default (the `chat` per-subject slot is
   *     `()` and always omitted);
   *   - ClassStats maps serialize class-keyed with zero entries skipped, in
-  *     enum order (ClassMap Serialize, common.rs:158-175).
+  *     enum order (ClassMap Serialize, common.rs:158-175);
+  *   - non-finite f32 medic averages (possible when charge_count == 0)
+  *     serialize as `null`, exactly like serde_json's f32 handling.
   *
-  * Built declaratively: struct/map assembly + one `to_json` per doc; Spark's
-  * JSON generator omits null fields by default, which implements serde's
-  * skip-default once defaulted sections are nulled out.
-  *
-  * Documented divergence: non-finite medic averages (possible when
-  * charge_count == 0) serialize as serde_json `null`; Spark's generator
-  * cannot emit a bare null inside an otherwise non-null struct field, so
-  * such structs would render NaN -- none of the reference's own logs hits
-  * this (no `null` in any committed snapshot).
+  * Built declaratively: each SECTION renders with its own `to_json` and the
+  * per-player object is assembled by string concat -- the medic section uses
+  * `ignoreNullFields=false` so a nulled non-finite float emits an explicit
+  * `null`, while absent sections are skipped entirely (serde's
+  * skip_serializing_if), which a single to_json could not express both of.
   */
 object JsonEmit {
 
@@ -47,6 +45,12 @@ object JsonEmit {
       )
     )
 
+  /** Non-finite f32 -> null (serde_json emits null for NaN/Inf f32). */
+  private def finiteOrNull(c: Column): Column =
+    when(isnan(c) || c === Float.PositiveInfinity || c === Float.NegativeInfinity,
+      lit(null).cast("float")
+    ).otherwise(c)
+
   /** Per-doc JSON line matching `tf_log_parser::parse` + serde_json. Input:
     * the frames produced by [[TfPipeline.perPlayer]] and [[TfPipeline.chat]]. */
   def mainJson(perPlayer: DataFrame, chat: DataFrame): DataFrame = {
@@ -58,24 +62,53 @@ object JsonEmit {
         m.getField("avg_time_to_use") === 0f && m.getField("avg_uber_length") === 0f &&
         m.getField("charge_count") === 0L && m.getField("drops") === 0L
 
+    // serde field order preserved; non-finite averages nulled -> emitted as
+    // literal null by the ignoreNullFields=false generator below
+    val medicNulled = struct(
+      m.getField("advantages_lost").as("advantages_lost"),
+      finiteOrNull(m.getField("biggest_advantage_lost")).as("biggest_advantage_lost"),
+      m.getField("near_full_charge_death").as("near_full_charge_death"),
+      m.getField("deaths_after_uber").as("deaths_after_uber"),
+      finiteOrNull(m.getField("avg_time_before_healing")).as("avg_time_before_healing"),
+      finiteOrNull(m.getField("avg_time_to_build")).as("avg_time_to_build"),
+      finiteOrNull(m.getField("avg_time_to_use")).as("avg_time_to_use"),
+      finiteOrNull(m.getField("avg_uber_length")).as("avg_uber_length"),
+      m.getField("charge_count").as("charge_count"),
+      m.getField("drops").as("drops")
+    )
+
     val k = classMapJson(col("kills"))
     val d = classMapJson(col("deaths"))
     val a = classMapJson(col("assists"))
     val g = classMapJson(col("damage"))
 
-    val payload = struct(
-      // serde field order: chat (unit, always skipped), heal_spread,
-      // medic_stats, class_stats
-      when(size(map_entries(col("heals"))) > 0, col("heals")).as("heal_spread"),
-      when(!medicDefault, col("medic")).as("medic_stats"),
-      when(size(map_entries(k)) + size(map_entries(d)) + size(map_entries(a)) + size(map_entries(g)) > 0,
-        struct(k.as("kills"), d.as("deaths"), a.as("assists"), g.as("damage"))
-      ).as("class_stats")
+    // serde field order: chat (unit, always skipped), heal_spread,
+    // medic_stats, class_stats; concat_ws skips null (absent) sections
+    val sections = array(
+      when(
+        size(map_entries(col("heals"))) > 0,
+        concat(lit("\"heal_spread\":"), to_json(col("heals")))
+      ),
+      when(
+        !medicDefault,
+        concat(
+          lit("\"medic_stats\":"),
+          to_json(medicNulled, java.util.Map.of("ignoreNullFields", "false"))
+        )
+      ),
+      when(
+        size(map_entries(k)) + size(map_entries(d)) + size(map_entries(a)) + size(map_entries(g)) > 0,
+        concat(
+          lit("\"class_stats\":"),
+          to_json(struct(k.as("kills"), d.as("deaths"), a.as("assists"), g.as("damage")))
+        )
+      )
     )
+    val payloadJson = concat(lit("{"), concat_ws(",", sections), lit("}"))
 
     // per-player JSON rendered BEFORE the collect so the (steam64, json)
     // pairs are sort_array-orderable (structs containing maps are not)
-    val pair = concat(lit("\""), col("steam3"), lit("\":"), to_json(payload))
+    val pair = concat(lit("\""), col("steam3"), lit("\":"), payloadJson)
     val perDoc = perPlayer
       .groupBy("doc_id")
       .agg(
@@ -114,10 +147,13 @@ object JsonEmit {
       )
   }
 
-  /** Convenience: full routed frame -> per-doc reference JSON. Every doc
-    * with at least one surviving handled line emits a row. */
-  def emit(routed: DataFrame, dim: DataFrame): DataFrame =
-    routed
+  /** Full per-doc reference JSON over an explicit doc universe (use
+    * [[TfPipeline.routedWithUniverse]]'s first element): every ingested,
+    * non-aborted doc emits a row -- a doc whose lines are all
+    * valid-but-unhandled prints `[{},{}]` exactly like main.rs, while a doc
+    * the reference would abort (hard parse error) emits nothing. */
+  def emit(docs: DataFrame, routed: DataFrame, dim: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"))
       .distinct()
       .join(mainJson(TfPipeline.perPlayer(routed, dim), TfPipeline.chat(routed, dim)), Seq("doc_id"), "left")

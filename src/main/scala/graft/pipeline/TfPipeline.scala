@@ -88,12 +88,22 @@ object TfPipeline {
   /** Adds `pm` (typed params map), `typed_err`, `drop` and `hard_error`
     * columns implementing the truncated-line recovery (lib.rs:68-99):
     *  (a) error + params embed a same-date `L MM/DD/YYYY` -> silently dropped;
-    *  (b) otherwise the NEXT physical line is consumed and both are dropped
-    *      when its timestamp jumps >60s; anything else is a hard error.
-    * Limitation (documented): runs of >=2 adjacent erroring lines resolve
-    * sequentially in the reference (the consumed line's own error is never
-    * evaluated); this window formulation evaluates one step of lookbehind,
-    * which is exact for all non-adjacent error patterns.
+    *  (b) otherwise the NEXT physical line is consumed (never evaluated
+    *      itself) and both are dropped when the consumed line's raw
+    *      timestamp jumps >60s; anything else is a hard error.
+    *
+    * Consumption is SEQUENTIAL in the reference: within a run of consecutive
+    * candidate-error lines only the 1st/3rd/5th... actually error-and-consume;
+    * the even-offset lines are consumed and their own errors never evaluated,
+    * and a non-error line right after an odd-length run is consumed too.
+    * That recurrence (consumed(i) = E(i-1); E(i) = cand(i) && !consumed(i))
+    * resolves to alternating parity within each maximal `cand` run, which is
+    * what the windowed formulation below computes -- exactly, for chains of
+    * any length, with no driver-side iteration.
+    *
+    * Invalid dates mirror the reference's `unwrap_or(timestamp(0))` in the
+    * recovery comparison (null ts -> 0) and its process-path `unwrap()` panic
+    * (handled, unconsumed, error-free line with null ts -> hard error).
     */
   def classified(env: DataFrame): DataFrame = {
     val handled = col("status") === 0 && col("event_type").isInCollection(HandledTypes)
@@ -109,51 +119,91 @@ object TfPipeline {
       )
     val rescueA =
       col("typed_err") && col("params").contains(concat(lit("L "), substring(col("date"), 1, 10)))
-    val nextTs = lead(col("ts"), 1).over(wDoc)
-    val nextStatus = lead(col("status"), 1).over(wDoc)
-    val consumesNext = col("typed_err") && !col("rescue_a") && col("has_next")
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, 0)
+    val consumesNext = col("consume") && col("has_next")
     withPm
       .withColumn("rescue_a", rescueA)
+      // cand: an error line that, IF evaluated, consumes its successor
+      .withColumn("cand", col("typed_err") && !col("rescue_a"))
+      .withColumn("idx", row_number().over(wDoc))
+      // idx of the last non-cand line at-or-before this row = run anchor
+      .withColumn("run_anchor", max(when(!col("cand"), col("idx"))).over(wRun))
+      // E: evaluated-and-consuming error = cand at an even 0-based offset
+      // within its maximal cand run (odd offsets are consumed, inert)
+      .withColumn(
+        "consume",
+        col("cand") && pmod(col("idx") - coalesce(col("run_anchor"), lit(0L)) - 1, lit(2)) === 0
+      )
+      .withColumn("consumed", coalesce(lag(col("consume"), 1).over(wDoc), lit(false)))
       .withColumn("has_next", lead(lit(1), 1).over(wDoc).isNotNull)
-      .withColumn("next_ts", nextTs)
-      .withColumn("next_status", nextStatus)
+      .withColumn("next_ts", lead(col("ts"), 1).over(wDoc))
+      .withColumn("next_status", lead(col("status"), 1).over(wDoc))
       .withColumn("consumes_next", consumesNext)
       .withColumn(
         "hard_error",
         (col("status") === 2) || // envelope Malformed
-        (col("handled") && !col("typed_err") && col("ts").isNull) || // date panic
-        (consumesNext && !(col("next_status") === 0 && col("next_ts") - col("ts") > 60))
+        (col("handled") && !col("typed_err") && !col("consumed") && col("ts").isNull) || // date panic
+        (consumesNext && !(col("next_status") === 0 &&
+          coalesce(col("next_ts"), lit(0L)) - coalesce(col("ts"), lit(0L)) > 60))
       )
-      .withColumn(
-        "drop",
-        col("typed_err") || coalesce(lag(col("consumes_next"), 1).over(wDoc), lit(false))
-      )
-      .drop("rescue_a", "has_next", "next_ts", "next_status")
+      .withColumn("drop", col("typed_err") || col("consumed"))
+      .drop("rescue_a", "cand", "idx", "run_anchor", "consume", "consumed",
+        "has_next", "next_ts", "next_status")
   }
 
   /** Surviving handled rows with event time: the aggregate layer's input.
     * `time` = u32 seconds since the first surviving handled line per doc
     * (module/mod.rs:37-44). Narrow: heavyweight payload columns (tokens,
     * raw params) are pruned BEFORE the per-doc window exchange -- they are
-    * only needed on the route-write path ([[routable]]). */
-  def routed(env: DataFrame): DataFrame = {
+    * only needed on the route-write path ([[routable]]).
+    *
+    * DOC-LEVEL ABORT: the reference's parse() returns Err on the first hard
+    * error, so a log with ANY hard-error line produces NO output at all
+    * (main.rs propagates the error). Docs containing a hard_error line are
+    * therefore excluded wholesale -- computed with an unordered max window
+    * on the doc_id partitioning the per-doc windows already require (no
+    * extra exchange), not a driver-side pass. The aborted lines remain
+    * visible on the dead-letter path ([[routable]] `__error` routes). */
+  def routed(env: DataFrame): DataFrame = routedWithUniverse(env)._2
+
+  /** (ingested-doc universe excluding aborted docs, routed frame). The
+    * universe is what the JSON emitter keys on: a doc whose lines are all
+    * valid-but-unhandled still emits `[{},{}]` like main.rs, while an
+    * aborted doc emits nothing. */
+  def routedWithUniverse(env: DataFrame): (DataFrame, DataFrame) = {
     val cls = classified(env.drop("tokens"))
-    deriveRouted(cls.filter(col("handled") && !col("drop") && !col("hard_error")))
+    val flagged = cls.withColumn(
+      "doc_error",
+      max(when(col("hard_error"), 1).otherwise(0)).over(Window.partitionBy("doc_id"))
+    )
+    val okRows = flagged.filter(col("doc_error") === 0)
+    val universe = okRows.select("doc_id").distinct()
+    val routed = deriveRouted(okRows.filter(col("handled") && !col("drop") && !col("hard_error")))
+    (universe, routed)
   }
 
   /** The aggregate layer's input recomputed FROM THE COMMITTED ROUTE STORE
     * (Route.writeRouted partitions): the 100 TB shape, where the parse/route
     * leg runs once and every aggregate job reads pruned parquet partitions
     * instead of an in-memory cache. Rows in HandledTypes partitions are by
-    * construction the surviving handled rows, so the derivation below is
-    * identical to [[routed]]'s post-filter path. */
-  def routedFromStore(stored: DataFrame): DataFrame =
+    * construction the surviving handled rows; docs that aborted on a hard
+    * error are removed with a broadcast anti-join against the (tiny)
+    * `__error` dead-letter partition, mirroring [[routed]]'s doc abort.
+    * `ts` is re-derived with the parse kernel's fixed-UTC epoch -- NOT
+    * to_timestamp, which silently shifts with spark.sql.session.timeZone. */
+  def routedFromStore(stored: DataFrame): DataFrame = {
+    val errorDocs = stored
+      .filter(col("route") === "__error") // partition pruning: tiny
+      .select("doc_id")
+      .distinct()
     deriveRouted(
       stored
         .filter(col("route").isInCollection(HandledTypes)) // partition pruning
-        .withColumn("ts", unix_timestamp(to_timestamp(col("date"), "MM/dd/yyyy - HH:mm:ss")))
+        .join(broadcast(errorDocs), Seq("doc_id"), "left_anti")
+        .withColumn("ts", graft.expr.GraftExpressions.date_epoch(col("date")))
         .withColumn("pm", params_map(col("event_type"), col("params")))
     )
+  }
 
   /** Shared derivation: surviving handled rows (with ts + pm) -> the routed
     * frame consumed by every module aggregate. */

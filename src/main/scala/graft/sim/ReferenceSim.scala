@@ -67,16 +67,17 @@ object ReferenceSim {
       subjects: Vector[SubjRow] // insertion (first-seen) order
   )
 
-  private def epoch(date: String): Long = {
-    // MM/DD/YYYY - HH:MM:SS, fixed offsets (raw_event.rs:50-63)
-    val mo = date.substring(0, 2).toInt
-    val d = date.substring(3, 5).toInt
-    val y = date.substring(6, 10).toInt
-    val h = date.substring(13, 15).toInt
-    val mi = date.substring(16, 18).toInt
-    val s = date.substring(19, 21).toInt
-    java.time.LocalDateTime.of(y, mo, d, h, mi, s).toEpochSecond(java.time.ZoneOffset.UTC)
+  /** MM/DD/YYYY - HH:MM:SS -> epoch seconds; None on malformed or invalid
+    * calendar dates (chrono NaiveDate validation). Shares the exact kernel
+    * the distributed parse uses (LineParser.dateEpoch) so sim and engine
+    * cannot drift on date edge cases. */
+  private def epochOpt(date: String): Option[Long] = {
+    val ep = LineParser.dateEpoch(date)
+    if (ep == Long.MinValue) None else Some(ep)
   }
+
+  /** The reference's recovery-path `try_into().unwrap_or(timestamp(0,0))`. */
+  private def epochOr0(date: String): Long = epochOpt(date).getOrElse(0L)
 
   private def u32wrap(v: Long): Long = v & 0xffffffffL
   private def satSub(a: Long, b: Long): Long = if (a > b) a - b else 0L
@@ -170,14 +171,17 @@ object ReferenceSim {
           else {
             val next = LineParser.parse(lines(i))
             i += 1 // next line consumed in both outcomes
-            if (next.status == LineParser.OK && epoch(next.date) - epoch(raw.date) > 60) {
+            if (next.status == LineParser.OK && epochOr0(next.date) - epochOr0(raw.date) > 60) {
               // ignore both
             } else hardError = true
           }
+        } else if (epochOpt(raw.date).isEmpty) {
+          // process-path date `unwrap()` panic (module/mod.rs:38)
+          hardError = true
         } else {
           // process (module/mod.rs:30-52)
           handledCount += 1
-          val ts = epoch(raw.date)
+          val ts = epochOpt(raw.date).get
           val time = startTime match {
             case Some(st) => u32wrap(ts - st)
             case None     => startTime = Some(ts); 0L

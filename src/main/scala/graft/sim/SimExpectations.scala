@@ -13,26 +13,20 @@ import scala.collection.mutable
   * bit-for-bit (RealLogGoldenSpec), so these expectations are anchored to
   * the reference itself, not to the Spark code under test.
   *
-  * The route/drop classification here mirrors TfPipeline.classified's
-  * windowed formulation (including its documented one-step-lookbehind
-  * treatment of adjacent error lines and Spark's three-valued-logic handling
-  * of null timestamps) -- that formulation is itself golden-tested against
-  * the reference's sequential recovery in ClassificationSpec.
+  * The route/drop classification here replicates the reference's SEQUENTIAL
+  * consumption loop (lib.rs:58-104) directly; TfPipeline.classified computes
+  * the same recurrence with run-parity windows, and ClassificationSpec
+  * asserts the two agree (including adjacent-error chains).
   */
 object SimExpectations {
 
   import LineParser.{MALFORMED, OK}
 
-  private def epochOpt(date: String): Option[Long] =
-    try {
-      val mo = date.substring(0, 2).toInt
-      val d = date.substring(3, 5).toInt
-      val y = date.substring(6, 10).toInt
-      val h = date.substring(13, 15).toInt
-      val mi = date.substring(16, 18).toInt
-      val s = date.substring(19, 21).toInt
-      Some(java.time.LocalDateTime.of(y, mo, d, h, mi, s).toEpochSecond(java.time.ZoneOffset.UTC))
-    } catch { case _: Exception => None }
+  private def epochOpt(date: String): Option[Long] = {
+    // the shared parse kernel (fixed offsets + chrono-style calendar checks)
+    val ep = LineParser.dateEpoch(date)
+    if (ep == Long.MinValue) None else Some(ep)
+  }
 
   /** Canonical "x y z" (i32-clamped) or null -- Kernels.parsePosition twin. */
   def posStr(v: String): String = {
@@ -68,6 +62,11 @@ object SimExpectations {
       route: String
   )
 
+  /** Sequential replica of lib.rs:58-104's consumption loop: a consumed
+    * line is never evaluated (its own error, if any, is inert) and cannot
+    * consume its successor -- the recurrence TfPipeline.classified resolves
+    * with run-parity windows. Invalid dates use the reference's
+    * `unwrap_or(timestamp(0))` in the >60s comparison. */
   def classify(lines: IndexedSeq[String]): Vector[LineClass] = {
     val n = lines.length
     val raws = lines.map(LineParser.parse).toArray
@@ -79,19 +78,27 @@ object SimExpectations {
     val rescueA = Array.tabulate(n) { i =>
       typedErr(i) && raws(i).params.contains("L " + raws(i).date.substring(0, 10))
     }
-    val consumesNext = Array.tabulate(n)(i => typedErr(i) && !rescueA(i) && i < n - 1)
-    val hard = Array.tabulate(n) { i =>
-      (raws(i).status == MALFORMED) ||
-      (handled(i) && !typedErr(i) && ts(i).isEmpty) ||
-      (consumesNext(i) && {
-        // Spark 3VL: if the next line is OK but its ts is null, the >60s
-        // comparison is null -> hard_error null -> treated as false
-        val nextOk = raws(i + 1).status == OK
-        if (nextOk && ts(i + 1).isEmpty) false
-        else !(nextOk && (for (a <- ts(i + 1); b <- ts(i)) yield a - b > 60).getOrElse(false))
-      })
+    val consumed = new Array[Boolean](n)
+    val hard = new Array[Boolean](n)
+    val drop = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (raws(i).status == MALFORMED) hard(i) = true // Err in loop OR in consumption
+      if (consumed(i)) drop(i) = true // inert: never evaluated
+      else if (typedErr(i)) {
+        drop(i) = true
+        if (!rescueA(i) && i + 1 < n) {
+          consumed(i + 1) = true
+          val nextOk = raws(i + 1).status == OK
+          val bigGap = nextOk &&
+            ts(i + 1).getOrElse(0L) - ts(i).getOrElse(0L) > 60
+          if (!bigGap) hard(i) = true
+        } // rescue_a or end-of-log: silently dropped
+      } else if (handled(i) && ts(i).isEmpty) {
+        hard(i) = true // process-path date unwrap() panic
+      }
+      i += 1
     }
-    val drop = Array.tabulate(n)(i => typedErr(i) || (i > 0 && consumesNext(i - 1)))
     Vector.tabulate(n) { i =>
       val route =
         if (hard(i)) "__error"

@@ -87,6 +87,84 @@ class ClassificationSpec extends AnyFunSuite {
     assert(!ReferenceSim.run(lines.toIndexedSeq).hardError)
   }
 
+  test("adjacent-error chain: consumed line's own error is inert (lib.rs sequential consumption)") {
+    // [ok, errA, errB(+70s), ok(+5s from B)]: the reference evaluates A,
+    // consumes B unevaluated (gap>60 -> both dropped) and processes the last
+    // line normally. A one-step-lookbehind formulation would let B "consume"
+    // the last line and hard-error the doc.
+    val lines = Seq(
+      ln("10:00:00", s"""$P spawned as "Scout""""),
+      ln("10:00:05", s"""$P killed ${'"'}chain-a"""),
+      ln("10:01:10", s"""$P killed ${'"'}chain-b"""), // consumed, never evaluated
+      ln("10:01:15", s"""$P spawned as "Medic"""") // processed normally
+    )
+    val env = TfPipeline.envelope(toDf(lines))
+    val cls = TfPipeline.classified(env)
+    assert(cls.filter(col("hard_error")).count() == 0)
+    val routed = TfPipeline.routed(env)
+    assert(routed.count() == 2, "first spawn + last spawn survive")
+    val sim = ReferenceSim.run(lines.toIndexedSeq)
+    assert(!sim.hardError && sim.handledCount == 2)
+  }
+
+  test("adjacent-error chain of three resolves pairwise: A consumes B, C consumes the tail") {
+    val lines = Seq(
+      ln("10:00:00", s"""$P spawned as "Scout""""),
+      ln("10:00:05", s"""$P killed ${'"'}chain-a"""),
+      ln("10:01:10", s"""$P killed ${'"'}chain-b"""), // consumed by A
+      ln("10:01:15", s"""$P killed ${'"'}chain-c"""), // evaluated, consumes next
+      ln("10:02:20", s"""$P spawned as "Medic"""") // consumed by C (gap 65s > 60)
+    )
+    val env = TfPipeline.envelope(toDf(lines))
+    assert(TfPipeline.classified(env).filter(col("hard_error")).count() == 0)
+    assert(TfPipeline.routed(env).count() == 1, "only the first spawn survives")
+    val sim = ReferenceSim.run(lines.toIndexedSeq)
+    assert(!sim.hardError && sim.handledCount == 1)
+  }
+
+  test("hard error inside a chain aborts the WHOLE doc (reference parse() returns Err)") {
+    val lines = Seq(
+      ln("10:00:00", s"""$P spawned as "Scout""""),
+      ln("10:00:05", s"""$P triggered "healed" against $P (healing "7")"""),
+      ln("10:00:10", s"""$P killed ${'"'}chain-a"""),
+      ln("10:00:15", s"""$P spawned as "Medic"""") // consumed, gap 5s <= 60 -> hard error
+    )
+    val env = TfPipeline.envelope(toDf(lines))
+    assert(TfPipeline.classified(env).filter(col("hard_error")).count() == 1)
+    // doc-level abort: even the lines processed before the error emit nothing
+    assert(TfPipeline.routed(env).count() == 0)
+    val (docs, _) = TfPipeline.routedWithUniverse(env)
+    assert(docs.count() == 0, "aborted doc is not in the emit universe")
+    assert(ReferenceSim.run(lines.toIndexedSeq).hardError)
+  }
+
+  test("route labels match the sequential classifier on hand-built chains and generated docs") {
+    import graft.sim.SimExpectations
+    val chain = Seq(
+      ln("10:00:00", s"""$P spawned as "Scout""""),
+      ln("10:00:05", s"""$P killed ${'"'}chain-a"""),
+      ln("10:01:10", s"""$P killed ${'"'}chain-b"""),
+      ln("10:01:15", s"""$P killed ${'"'}chain-c"""),
+      ln("10:02:20", s"""$P spawned as "Medic""""),
+      ln("10:02:25", s"""$P triggered "healed" against $P (healing "7")""")
+    )
+    val docsUnderTest: Seq[(String, Vector[String])] =
+      ("chain" -> chain.toVector) +: (2000 until 2010).map { d =>
+        s"gen-$d" -> LogGen.docLines(11L, d.toLong, 120)
+      }
+    for ((name, lines) <- docsUnderTest) {
+      val expected = SimExpectations.classify(lines).map(_.route)
+      val got = TfPipeline
+        .routable(TfPipeline.envelope(toDf(lines)))
+        .orderBy("line_no")
+        .select("route")
+        .collect()
+        .map(_.getString(0))
+        .toVector
+      assert(got == expected, s"$name: distributed route labels != sequential classifier")
+    }
+  }
+
   test("parser totality: never throws on arbitrary lines (5000 fuzz cases)") {
     val rnd = new java.util.Random(42)
     val fragments = Array(
