@@ -216,6 +216,31 @@ object SparkEntry {
       val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.lshTopK(e, 64, 6, 3, tables = 4, maxBucket = 50)
     }),
+    "tf_json" -> ((s, d) => {
+      // S5 surface end-to-end: per-doc reference JSON ([global, per_player],
+      // skip-default, non-finite -> null), hash-compared byte-for-byte
+      // against the sim-rendered expectation
+      val (docs, routed) = TfPipeline.routedWithUniverse(TfPipeline.envelope(tfInput(s, d)))
+      graft.pipeline.JsonEmit
+        .emit(docs, routed, TfPipeline.subjectDim(routed))
+        .select(col("doc_id"), col("json"))
+    }),
+    "tf_composed" -> ((s, d) => {
+      // §2.9 surface: custom HighestDamage module composed over the routed
+      // frame (examples/custom_handler.rs:29-56 shape)
+      val r = routedOf(s, d)
+      graft.pipeline.Handlers
+        .composePerPlayer(r, TfPipeline.subjectDim(r),
+          Seq("highest_damage" -> graft.pipeline.Handlers.highestDamage))
+        .select(
+          col("doc_id"),
+          col("steam3"),
+          col("steam64"),
+          col("name"),
+          coalesce(col("highest_damage.damage"), lit(-1L)).as("hd_damage"),
+          coalesce(col("highest_damage.line_no"), lit(-1L)).as("hd_line")
+        )
+    }),
 
     // ================= SQL twins with DuckDB oracles ======================
     "q1_agg" -> ((s, d) =>
@@ -447,6 +472,8 @@ object SparkEntry {
     "tf_lobby" -> expOracle("tf_lobby"),
     "tf_typed_kills" -> expOracle("tf_typed_kills"),
     "tf_captures" -> expOracle("tf_captures"),
+    "tf_json" -> expOracle("tf_json"),
+    "tf_composed" -> expOracle("tf_composed"),
     "tf_multimodal_features" -> {
       val hist = (0 until 16)
         .map(j => s"  CAST(len(list_filter(bytes, b -> b // 16 = $j)) AS BIGINT) AS h$j")

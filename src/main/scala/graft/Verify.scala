@@ -38,6 +38,8 @@ object Verify {
     val dims = Vector.newBuilder[Row]
     val chats = Vector.newBuilder[Row]
     val players = Vector.newBuilder[Row]
+    val jsons = Vector.newBuilder[Row]
+    val composed = Vector.newBuilder[Row]
 
     for (docId <- 0L until nDocs.toLong) {
       val docKey = f"log-$docId%06d"
@@ -57,6 +59,17 @@ object Verify {
       sim.chat.foreach { c =>
         chats += Row(docKey, c.lineNo, c.time, c.name, c.steam64, c.message, c.chatType)
       }
+      jsons += Row(docKey, SimExpectations.renderDocJson(sim))
+      val hd = SimExpectations.composedDamage(lines)
+      sim.subjects.foreach { s =>
+        if (graft.expr.Steam.packedKind(s.sid) == 1) {
+          val acct = graft.expr.Steam.packedValue(s.sid)
+          val (d, l) = hd.getOrElse(s.sid, (-1L, -1L))
+          composed += Row(docKey, graft.expr.Steam.steam3(acct),
+            graft.expr.Steam.steam64(acct), s.name, d, l)
+        }
+      }
+
       val nameBySid = sim.subjects.map(s => s.sid -> s.name).toMap
       sim.perPlayer.foreach { p =>
         val sid = (graft.expr.Steam.K_PLAYER << 32) | p.account
@@ -85,6 +98,21 @@ object Verify {
     save(spark.createDataset(kills.result()).toDF(), "tf_typed_kills")
     save(spark.createDataset(caps.result()).toDF(), "tf_captures")
     save(spark.createDataset(lobbies.result()).toDF(), "tf_lobby")
+
+    val jsonSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("json", StringType)
+    ))
+    save(spark.createDataFrame(spark.sparkContext.parallelize(jsons.result(), 1), jsonSchema), "tf_json")
+
+    val composedSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("steam3", StringType),
+      StructField("steam64", LongType), StructField("name", StringType),
+      StructField("hd_damage", LongType), StructField("hd_line", LongType)
+    ))
+    save(
+      spark.createDataFrame(spark.sparkContext.parallelize(composed.result(), 1), composedSchema),
+      "tf_composed"
+    )
 
     val dimSchema = StructType(Seq(
       StructField("doc_id", StringType), StructField("sid", LongType),
@@ -140,7 +168,10 @@ object Verify {
       }
     }
 
-    val expDir = new java.io.File(outDir, "_expected").getAbsolutePath
+    // SIBLING of outDir, not inside it: the driver enumerates outDir's
+    // subdirectories as queries, and the expectation dump must not show up
+    // as a 36th pseudo-query with no oracle
+    val expDir = new java.io.File(outDir).getAbsolutePath.stripSuffix("/") + "_expected"
     try writeExpectations(spark, sfDir, expDir)
     catch { case e: Throwable => System.err.println(s"[verify] expectations failed: ${e.getMessage}") }
 

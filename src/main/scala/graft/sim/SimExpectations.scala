@@ -195,6 +195,104 @@ object SimExpectations {
     }
 
   // -------------------------------------------------------------------------
+  // Reference JSON (pipeline/JsonEmit twin, sequential)
+  // -------------------------------------------------------------------------
+
+  // Jackson is what Spark's to_json generator uses; routing the sim's
+  // string/float rendering through the same library guarantees byte parity
+  // with the engine (escaping table, float shortest-repr algorithm), while
+  // the VALUES stay anchored to the reference via RealLogGoldenSpec.
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def js(s: String): String = jsonMapper.writeValueAsString(s)
+  private def jf(f: Float): String =
+    if (f.isNaN || f.isInfinite) "null" // serde_json: non-finite f32 -> null
+    else jsonMapper.writeValueAsString(java.lang.Float.valueOf(f))
+
+  /** The exact `[global, per_player]` JSON line JsonEmit.emit produces for
+    * one doc (main.rs:14 shape, skip-default serialization). */
+  def renderDocJson(sim: ReferenceSim.SimResult): String = {
+    val global =
+      if (sim.chat.isEmpty) "{}"
+      else
+        sim.chat
+          .map(c =>
+            s"""{"time":${c.time},"name":${js(c.name)},"steam_id":${c.steam64},""" +
+              s""""message":${js(c.message)},"chat_type":${js(c.chatType)}}"""
+          )
+          .mkString("""{"chat":[""", ",", "]}")
+
+    def classMap(a: Array[Long]): String =
+      graft.pipeline.TfPipeline.ClassNames.zipWithIndex
+        .collect { case (c, i) if a(i) != 0L => s"${js(c)}:${a(i)}" }
+        .mkString("{", ",", "}")
+
+    val pp = sim.perPlayer
+      .map { p =>
+        val sections = Vector.newBuilder[String]
+        if (p.heals.nonEmpty)
+          sections += p.heals
+            .map { case (s3, v) => s"${js(s3)}:$v" }
+            .mkString("\"heal_spread\":{", ",", "}")
+        val m = p.medicEngine
+        val isDefault = m.advantagesLost == 0L && m.biggestAdvantageLost == 0f &&
+          m.nearFullChargeDeath == 0L && m.deathsAfterUber == 0L &&
+          m.avgTimeBeforeHealing == 0f && m.avgTimeToBuild == 0f &&
+          m.avgTimeToUse == 0f && m.avgUberLength == 0f &&
+          m.chargeCount == 0L && m.drops == 0L
+        if (!isDefault)
+          sections += "\"medic_stats\":{" +
+            s""""advantages_lost":${m.advantagesLost},""" +
+            s""""biggest_advantage_lost":${jf(m.biggestAdvantageLost)},""" +
+            s""""near_full_charge_death":${m.nearFullChargeDeath},""" +
+            s""""deaths_after_uber":${m.deathsAfterUber},""" +
+            s""""avg_time_before_healing":${jf(m.avgTimeBeforeHealing)},""" +
+            s""""avg_time_to_build":${jf(m.avgTimeToBuild)},""" +
+            s""""avg_time_to_use":${jf(m.avgTimeToUse)},""" +
+            s""""avg_uber_length":${jf(m.avgUberLength)},""" +
+            s""""charge_count":${m.chargeCount},"drops":${m.drops}}"""
+        val anyClass =
+          p.kills.exists(_ != 0L) || p.deaths.exists(_ != 0L) ||
+            p.assists.exists(_ != 0L) || p.damage.exists(_ != 0L)
+        if (anyClass)
+          sections += s""""class_stats":{"kills":${classMap(p.kills)},"deaths":${classMap(
+              p.deaths
+            )},"assists":${classMap(p.assists)},"damage":${classMap(p.damage)}}"""
+        s"${js(p.steam3)}:{${sections.result().mkString(",")}}"
+      }
+      .mkString("{", ",", "}")
+
+    s"[$global,$pp]"
+  }
+
+  // -------------------------------------------------------------------------
+  // Composed custom handler (Handlers.highestDamage twin, sequential)
+  // -------------------------------------------------------------------------
+
+  /** Per-sid highest (damage, line_no), lexicographic max, over SURVIVING
+    * handled damage rows -- the routed-frame semantics Handlers.highestDamage
+    * aggregates (no round gate, no damage-range filter; i64-clamped parse,
+    * missing/malformed value skipped). */
+  def composedDamage(lines: IndexedSeq[String]): Map[Long, (Long, Long)] = {
+    val best = mutable.Map.empty[Long, (Long, Long)]
+    classify(lines).zipWithIndex.foreach { case (c, i) =>
+      if (c.route == "damage") {
+        val m = ReferenceSim.typedParse(c.raw.eventType, c.raw.params).m
+        m.get("damage").foreach { v =>
+          val d = LineParser.clampParseSigned(v, Long.MinValue, Long.MaxValue)
+          if (d != null) {
+            val sid = Steam.subjectId(c.raw.kind, c.raw.subject)
+            val cand = (d.longValue(), i.toLong)
+            val cur = best.get(sid)
+            if (cur.forall(x => cand._1 > x._1 || (cand._1 == x._1 && cand._2 > x._2)))
+              best(sid) = cand
+          }
+        }
+      }
+    }
+    best.toMap
+  }
+
+  // -------------------------------------------------------------------------
   // Lobby settings (pipeline/Lobby twin, sequential fold)
   // -------------------------------------------------------------------------
 
