@@ -137,6 +137,7 @@ object SparkEntry {
         col("doc_id"),
         col("ok").cast("long").as("ok"),
         coalesce(col("error_kind"), lit("")).as("error_kind"),
+        coalesce(col("error"), lit("")).as("error"),
         coalesce(st.getField("id"), lit(-1L)).as("id"),
         coalesce(st.getField("leader").getField("name"), lit("")).as("leader_name"),
         coalesce(st.getField("leader").getField("steam64"), lit(-1L)).as("leader_steam64"),

@@ -13,9 +13,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    (last-wins); a malformed recognized value latches the error state
   *    permanently (messages after the first error are ignored).
   *
-  * Output per doc: present / error_kind / settings struct. Divergence from
-  * the reference (documented): errors carry a stable `error_kind` tag rather
-  * than the thiserror Display strings.
+  * Output per doc: present / error_kind (stable tag) / `error` carrying the
+  * reference's thiserror/chrono Display string / settings struct.
+  *
+  * Launch dates replicate chrono's `%a %b %d %H:%M:%S %Z %Y` validation:
+  * the timezone is resolved FIRST by substring containment (CEST/CET,
+  * lobbysettings.rs:231-239), then the weekday NAME is checked for
+  * consistency with the calendar date (chrono's Parsed::to_naive_date ->
+  * Impossible on mismatch). Epochs are computed with the fixed-UTC parse
+  * kernel, so results never depend on spark.sql.session.timeZone.
   *
   * Not part of the default LogHandler (lib.rs:127-132) -- an optional module,
   * like `examples/combine_handlers.rs` composes it.
@@ -28,8 +34,19 @@ object Lobby {
   private def strictBool(v: Column): Column =
     when(v === "true", true).when(v === "false", false) // null = error
 
-  private def strictU32(v: Column): Column =
-    when(v.rlike("^[0-9]{1,10}$") && v.cast("long") <= 4294967295L, v.cast("long"))
+  /** u32 FromStr: optional '+', digits, value <= u32::MAX. */
+  private def strictU32(v: Column): Column = {
+    val digits = regexp_replace(v, "^\\+", "")
+    when(digits.rlike("^[0-9]{1,10}$") && digits.cast("long") <= 4294967295L, digits.cast("long"))
+  }
+
+  /** ParseIntError Display for a failed u32 parse (lobby header id). */
+  private def parseIntErrDisplay(v: Column): Column = {
+    val digits = regexp_replace(v, "^\\+", "")
+    when(v === "", "cannot parse integer from empty string")
+      .when(!digits.rlike("^[0-9]+$"), "invalid digit found in string")
+      .otherwise("number too large to fit in target type")
+  }
 
   /** Leader "name (steam64)" -> struct(name, steam64); null on malformed. */
   private def leaderParse(v: Column): Column = {
@@ -44,20 +61,96 @@ object Lobby {
     )
   }
 
-  /** Launch date "Www Mmm dd HH:MM:SS CEST|CET yyyy" -> UTC timestamp. */
-  private def dateParse(v: Column): Column = {
-    val re = "^[A-Za-z]{3} ([A-Za-z]{3}) ([0-9]{1,2}) ([0-9]{2}:[0-9]{2}:[0-9]{2}) (CEST|CET) ([0-9]{4})$"
-    val mon = regexp_extract(v, re, 1)
-    val day = regexp_extract(v, re, 2)
-    val hms = regexp_extract(v, re, 3)
-    val tz = regexp_extract(v, re, 4)
-    val year = regexp_extract(v, re, 5)
-    val local = to_timestamp(concat_ws(" ", mon, day, year, hms), "MMM d yyyy HH:mm:ss")
-    when(
-      v.rlike(re),
-      when(tz === "CEST", local - expr("INTERVAL 2 HOURS"))
-        .otherwise(local - expr("INTERVAL 1 HOURS"))
+  // ---- launch-date parsing (chrono "%a %b %d %H:%M:%S %Z %Y") -------------
+
+  private val dateShape =
+    "^([A-Za-z]+) ([A-Za-z]+) ([0-9]{1,2}) ([0-9]{2}):([0-9]{2}):([0-9]{2}) ([^ ]+) ([0-9]{4})$"
+
+  private val monthNames = Seq(
+    "jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec"
+  )
+  private val monthLong = Seq(
+    "january", "february", "march", "april", "may", "june", "july", "august",
+    "september", "october", "november", "december"
+  )
+  private val weekdayNames = Seq("thu", "fri", "sat", "sun", "mon", "tue", "wed") // epoch-day 0 = Thursday
+  private val weekdayLong =
+    Seq("thursday", "friday", "saturday", "sunday", "monday", "tuesday", "wednesday")
+
+  private def monthNum(tok: Column): Column =
+    (monthNames.zipWithIndex ++ monthLong.zipWithIndex)
+      .foldLeft(lit(null).cast("int")) { case (acc, (n, i)) =>
+        when(tok === n, lit(i + 1)).otherwise(acc)
+      }
+
+  /** Weekday token -> epoch-day-mod-7 index (0 = Thursday); null unknown. */
+  private def weekdayIdx(tok: Column): Column =
+    (weekdayNames.zipWithIndex ++ weekdayLong.zipWithIndex)
+      .foldLeft(lit(null).cast("int")) { case (acc, (n, i)) =>
+        when(tok === n, lit(i)).otherwise(acc)
+      }
+
+  /** Pieces of the launch-date validation, shared by value and error paths. */
+  private final case class DateParts(
+      tzOffset: Column, // seconds east; null = unknown timezone
+      shapeOk: Column,
+      tokensOk: Column, // month + weekday names recognized
+      rangeOk: Column, // field ranges scannable by chrono
+      epochLocal: Column, // kernel epoch of the local datetime; null = bad calendar date
+      weekdayOk: Column // named weekday consistent with the date
+  )
+
+  private def dateParts(v: Column): DateParts = {
+    // reference resolves the timezone FIRST, by containment (get_timezone)
+    val tzOffset = when(v.contains("CEST"), 7200).when(v.contains("CET"), 3600)
+    val wdTok = lower(regexp_extract(v, dateShape, 1))
+    val moTok = lower(regexp_extract(v, dateShape, 2))
+    val day = regexp_extract(v, dateShape, 3)
+    val hh = regexp_extract(v, dateShape, 4)
+    val mm = regexp_extract(v, dateShape, 5)
+    val ss = regexp_extract(v, dateShape, 6)
+    val year = regexp_extract(v, dateShape, 8)
+    val shapeOk = v.rlike(dateShape)
+    val mo = monthNum(moTok)
+    val wd = weekdayIdx(wdTok)
+    val tokensOk = shapeOk && mo.isNotNull && wd.isNotNull
+    val rangeOk = shapeOk &&
+      hh.cast("int") <= 23 && mm.cast("int") <= 59 && ss.cast("int") <= 59 &&
+      day.cast("int") >= 1 && day.cast("int") <= 31
+    // fixed-UTC kernel epoch; also validates days-in-month (chrono from_ymd)
+    val canonical = concat(
+      lpad(mo.cast("string"), 2, "0"), lit("/"), lpad(day, 2, "0"), lit("/"), year,
+      lit(" - "), hh, lit(":"), mm, lit(":"), ss
     )
+    val epochLocal = when(tokensOk && rangeOk, graft.expr.GraftExpressions.date_epoch(canonical))
+    val weekdayOk = pmod(floor(epochLocal / 86400L), lit(7L)) === wd.cast("long")
+    DateParts(tzOffset, shapeOk, tokensOk, rangeOk, epochLocal, weekdayOk)
+  }
+
+  /** Launch date -> UTC timestamp; null on any validation failure. */
+  private def dateParse(v: Column): Column = {
+    val p = dateParts(v)
+    when(
+      p.tzOffset.isNotNull && p.epochLocal.isNotNull && p.weekdayOk,
+      timestamp_seconds(p.epochLocal - p.tzOffset.cast("long"))
+    )
+  }
+
+  /** (error_kind, display) for a Launch date value; kind null when valid.
+    * Display strings follow LobbySettingsError / chrono::ParseError. */
+  private def dateErr(v: Column): (Column, Column) = {
+    val p = dateParts(v)
+    val kind =
+      when(p.tzOffset.isNull, "unknown_timezone")
+        .when(!p.tokensOk, "invalid_date")
+        .when(!p.rangeOk, "invalid_date")
+        .when(p.epochLocal.isNull || !p.weekdayOk, "invalid_date")
+    val display =
+      when(p.tzOffset.isNull, concat(lit("Unknown timezone in date: "), v))
+        .when(!p.tokensOk, "input contains invalid characters")
+        .when(!p.rangeOk, "input is out of range")
+        .when(p.epochLocal.isNull || !p.weekdayOk, "no possible date and time matching input")
+    (kind, display)
   }
 
   /** Per-doc lobby settings from the routed frame. */
@@ -75,6 +168,7 @@ object Lobby {
 
     val parsed = says
       .withColumn("is_header", header)
+      .withColumn("header_raw", when(header, headerId))
       .withColumn("header_id", when(header, strictU32(headerId)))
       .withColumn("key", key)
       .withColumn("value", value)
@@ -85,23 +179,33 @@ object Lobby {
       .withColumn("arm_line", min(when(col("is_header"), col("line_no"))).over(wDocAll))
       .filter(col("arm_line").isNotNull)
 
-    // per-message error while Active (or a bad header id at the arm line)
-    val recognizedErr =
-      (col("key") === "Leader" && leaderParse(col("value")).isNull) ||
-        (col("key") === "GameType" && !col("value").isin("6v6", "highlander")) ||
-        (col("key") === "Location" && !col("value").isin("Europe", "North America")) ||
-        (col("key").isInCollection(boolKeys) && strictBool(col("value")).isNull) ||
-        (col("key") === "Launch date" && dateParse(col("value")).isNull)
+    val active = col("line_no") > col("arm_line")
+    val (dateKind, dateDisplay) = dateErr(col("value"))
     val errKind =
       when(col("is_header") && col("line_no") === col("arm_line") && col("header_id").isNull, "invalid_lobby_id")
-        .when(col("line_no") > col("arm_line") && col("key") === "Leader" && leaderParse(col("value")).isNull, "malformed_leader")
-        .when(col("line_no") > col("arm_line") && col("key") === "GameType" && !col("value").isin("6v6", "highlander"), "unknown_game_type")
-        .when(col("line_no") > col("arm_line") && col("key") === "Location" && !col("value").isin("Europe", "North America"), "unknown_location")
-        .when(col("line_no") > col("arm_line") && col("key").isInCollection(boolKeys) && strictBool(col("value")).isNull, "invalid_bool")
-        .when(col("line_no") > col("arm_line") && col("key") === "Launch date" && dateParse(col("value")).isNull, "invalid_date")
+        .when(active && col("key") === "Leader" && leaderParse(col("value")).isNull, "malformed_leader")
+        .when(active && col("key") === "GameType" && !col("value").isin("6v6", "highlander"), "unknown_game_type")
+        .when(active && col("key") === "Location" && !col("value").isin("Europe", "North America"), "unknown_location")
+        .when(active && col("key").isInCollection(boolKeys) && strictBool(col("value")).isNull, "invalid_bool")
+        .when(active && col("key") === "Launch date", dateKind)
+    // the reference's Display strings (thiserror #[error] formats; chrono /
+    // std parse errors pass their own Display through)
+    val errDisplay =
+      when(col("is_header") && col("line_no") === col("arm_line") && col("header_id").isNull,
+        parseIntErrDisplay(col("header_raw")))
+        .when(active && col("key") === "Leader" && leaderParse(col("value")).isNull,
+          concat(lit("Malformed leader: "), col("value")))
+        .when(active && col("key") === "GameType" && !col("value").isin("6v6", "highlander"),
+          concat(lit("Unknown game type: "), col("value")))
+        .when(active && col("key") === "Location" && !col("value").isin("Europe", "North America"),
+          concat(lit("Unknown location: "), col("value")))
+        .when(active && col("key").isInCollection(boolKeys) && strictBool(col("value")).isNull,
+          lit("provided string was not `true` or `false`"))
+        .when(active && col("key") === "Launch date", dateDisplay)
 
     val withErr = armed
       .withColumn("err_kind", errKind)
+      .withColumn("err_display", errDisplay)
       .withColumn(
         "first_err_line",
         min(when(col("err_kind").isNotNull, col("line_no"))).over(wDocAll)
@@ -140,7 +244,8 @@ object Lobby {
         min(when(col("is_header"), col("line_no"))).as("arm_line2"),
         max_by(col("header_id"), when(col("is_header"), -col("line_no"))).as("lobby_id"),
         min(when(col("err_kind").isNotNull, col("line_no"))).as("err_line"),
-        max_by(col("err_kind"), when(col("err_kind").isNotNull, -col("line_no"))).as("error_kind")
+        max_by(col("err_kind"), when(col("err_kind").isNotNull, -col("line_no"))).as("error_kind"),
+        max_by(col("err_display"), when(col("err_kind").isNotNull, -col("line_no"))).as("error")
       )
 
     docState
@@ -149,6 +254,7 @@ object Lobby {
         col("doc_id"),
         col("err_line").isNull.as("ok"),
         col("error_kind"),
+        col("error"),
         when(
           col("err_line").isNull,
           struct(

@@ -300,6 +300,7 @@ object SimExpectations {
       doc_id: String,
       ok: Long,
       error_kind: String,
+      error: String,
       id: Long,
       leader_name: String,
       leader_steam64: Long,
@@ -318,18 +319,24 @@ object SimExpectations {
 
   private val boolKeys =
     Set("Advanced Lobby", "Region lock", "Allow offclassing", "Balancing", "Mumble required")
-  private val months = Map(
-    "Jan" -> 1, "Feb" -> 2, "Mar" -> 3, "Apr" -> 4, "May" -> 5, "Jun" -> 6,
-    "Jul" -> 7, "Aug" -> 8, "Sep" -> 9, "Oct" -> 10, "Nov" -> 11, "Dec" -> 12
-  )
 
   private def strictBool(v: String): Option[Boolean] =
     v match { case "true" => Some(true); case "false" => Some(false); case _ => None }
 
-  private def strictU32(v: String): Option[Long] =
-    if (v.nonEmpty && v.length <= 10 && v.forall(_.isDigit) && java.lang.Long.parseLong(v) <= 4294967295L)
-      Some(java.lang.Long.parseLong(v))
+  private def strictU32(v: String): Option[Long] = {
+    val digits = v.stripPrefix("+")
+    if (digits.nonEmpty && digits.length <= 10 && digits.forall(_.isDigit) &&
+      java.lang.Long.parseLong(digits) <= 4294967295L)
+      Some(java.lang.Long.parseLong(digits))
     else None
+  }
+
+  private def parseIntErrDisplay(v: String): String = {
+    val digits = v.stripPrefix("+")
+    if (v.isEmpty) "cannot parse integer from empty string"
+    else if (!digits.nonEmpty || !digits.forall(_.isDigit)) "invalid digit found in string"
+    else "number too large to fit in target type"
+  }
 
   private def leaderParse(v: String): Option[(String, Long)] = {
     val p = v.lastIndexOf(" (")
@@ -340,22 +347,45 @@ object SimExpectations {
     else None
   }
 
-  private val dateRe =
-    "^[A-Za-z]{3} ([A-Za-z]{3}) ([0-9]{1,2}) ([0-9]{2}:[0-9]{2}:[0-9]{2}) (CEST|CET) ([0-9]{4})$".r
+  // ---- launch-date twin of Lobby.dateParts/dateErr ------------------------
 
-  private def dateEpoch(v: String): Option[Long] = v match {
-    case dateRe(mon, day, hms, tz, year) =>
-      months.get(mon).flatMap { m =>
-        try {
-          val Array(h, mi, s) = hms.split(":").map(_.toInt)
-          val local = java.time.LocalDateTime
-            .of(year.toInt, m, day.toInt, h, mi, s)
-            .toEpochSecond(java.time.ZoneOffset.UTC)
-          Some(local - (if (tz == "CEST") 7200L else 3600L))
-        } catch { case _: Exception => None }
-      }
-    case _ => None
+  private val dateShapeRe =
+    "^([A-Za-z]+) ([A-Za-z]+) ([0-9]{1,2}) ([0-9]{2}):([0-9]{2}):([0-9]{2}) ([^ ]+) ([0-9]{4})$".r
+  private val monthIdx =
+    (Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec").zipWithIndex ++
+      Seq("january", "february", "march", "april", "may", "june", "july", "august",
+        "september", "october", "november", "december").zipWithIndex).toMap
+  private val weekdayIdx = // epoch-day 0 = Thursday
+    (Seq("thu", "fri", "sat", "sun", "mon", "tue", "wed").zipWithIndex ++
+      Seq("thursday", "friday", "saturday", "sunday", "monday", "tuesday", "wednesday").zipWithIndex).toMap
+
+  /** Right(utcEpoch) or Left((error_kind, display)). */
+  private def dateEpochChecked(v: String): Either[(String, String), Long] = {
+    val tzOffset =
+      if (v.contains("CEST")) Some(7200L)
+      else if (v.contains("CET")) Some(3600L)
+      else None
+    if (tzOffset.isEmpty) return Left(("unknown_timezone", s"Unknown timezone in date: $v"))
+    v match {
+      case dateShapeRe(wd, mon, day, hh, mm, ss, _, year) =>
+        (monthIdx.get(mon.toLowerCase), weekdayIdx.get(wd.toLowerCase)) match {
+          case (Some(m), Some(w)) =>
+            if (hh.toInt > 23 || mm.toInt > 59 || ss.toInt > 59 || day.toInt < 1 || day.toInt > 31)
+              Left(("invalid_date", "input is out of range"))
+            else {
+              val canonical = f"${m + 1}%02d/${day.toInt}%02d/$year - $hh:$mm:$ss"
+              val ep = LineParser.dateEpoch(canonical)
+              if (ep == Long.MinValue || java.lang.Math.floorMod(java.lang.Math.floorDiv(ep, 86400L), 7L) != w.toLong)
+                Left(("invalid_date", "no possible date and time matching input"))
+              else Right(ep - tzOffset.get)
+            }
+          case _ => Left(("invalid_date", "input contains invalid characters"))
+        }
+      case _ => Left(("invalid_date", "input contains invalid characters"))
+    }
   }
+
+  private def dateEpoch(v: String): Option[Long] = dateEpochChecked(v).toOption
 
   /** Per-doc lobby fold over the console-say messages that SURVIVE routing. */
   def lobby(docId: String, lines: IndexedSeq[String]): Option[LobbyRow] = {
@@ -380,21 +410,28 @@ object SimExpectations {
       if (p > 0) Some((msg.substring(0, p), msg.substring(p + 2))) else None
     }
 
-    // per-message error kinds (same rules/order as Lobby.errKind)
-    def errKindOf(line: Long, msg: String): Option[String] = {
-      if (line == armLine && headerId.isEmpty) return Some("invalid_lobby_id")
+    // per-message (error_kind, display) -- same rules/order as Lobby.errKind
+    def errOf(line: Long, msg: String): Option[(String, String)] = {
+      if (line == armLine && headerId.isEmpty) {
+        val raw = headers.minBy(_._1)._2
+        val hid = raw.substring(17, raw.indexOf(" |"))
+        return Some(("invalid_lobby_id", parseIntErrDisplay(hid)))
+      }
       if (line <= armLine) return None
       kv(msg).flatMap { case (k, v) =>
-        if (k == "Leader" && leaderParse(v).isEmpty) Some("malformed_leader")
-        else if (k == "GameType" && !Set("6v6", "highlander").contains(v)) Some("unknown_game_type")
-        else if (k == "Location" && !Set("Europe", "North America").contains(v)) Some("unknown_location")
-        else if (boolKeys.contains(k) && strictBool(v).isEmpty) Some("invalid_bool")
-        else if (k == "Launch date" && dateEpoch(v).isEmpty) Some("invalid_date")
+        if (k == "Leader" && leaderParse(v).isEmpty) Some(("malformed_leader", s"Malformed leader: $v"))
+        else if (k == "GameType" && !Set("6v6", "highlander").contains(v))
+          Some(("unknown_game_type", s"Unknown game type: $v"))
+        else if (k == "Location" && !Set("Europe", "North America").contains(v))
+          Some(("unknown_location", s"Unknown location: $v"))
+        else if (boolKeys.contains(k) && strictBool(v).isEmpty)
+          Some(("invalid_bool", "provided string was not `true` or `false`"))
+        else if (k == "Launch date") dateEpochChecked(v).left.toOption
         else None
       }
     }
 
-    val errs = says.flatMap { case (l, m) => errKindOf(l, m).map(k => (l, k)) }
+    val errs = says.flatMap { case (l, m) => errOf(l, m).map(k => (l, k)) }
     val firstErr = errs.sortBy(_._1).headOption
     val effective = says.filter { case (l, _) =>
       l > armLine && firstErr.forall(l < _._1)
@@ -404,7 +441,8 @@ object SimExpectations {
 
     val ok = firstErr.isEmpty
     if (!ok)
-      Some(LobbyRow(docId, 0L, firstErr.get._2, -1L, "", -1L, "", "", "", -1L, -1L, -1L, -1L, "", -1L, -1L, ""))
+      Some(LobbyRow(docId, 0L, firstErr.get._2._1, firstErr.get._2._2,
+        -1L, "", -1L, "", "", "", -1L, -1L, -1L, -1L, "", -1L, -1L, ""))
     else {
       val leader = assigns.get("Leader").flatMap(leaderParse)
       def b(k: String): Long = assigns.get(k).flatMap(strictBool).map(x => if (x) 1L else 0L).getOrElse(0L)
@@ -412,6 +450,7 @@ object SimExpectations {
         LobbyRow(
           docId,
           1L,
+          "",
           "",
           headerId.getOrElse(0L),
           leader.map(_._1).getOrElse(""),

@@ -52,7 +52,7 @@ class LobbySpec extends AnyFunSuite {
     assert(out.length == 1)
     val r = out(0)
     assert(r.getBoolean(1), "ok")
-    val st = r.getStruct(3)
+    val st = r.getStruct(4)
     assert(st.getLong(0) == 1148166L)
     assert(st.getStruct(1).getString(0) == "b4rney")
     assert(st.getStruct(1).getLong(1) == 76561198055036243L)
@@ -93,5 +93,50 @@ class LobbySpec extends AnyFunSuite {
     val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d4", lines)))))
     val r = Lobby.lobbySettings(routed).collect()(0)
     assert(!r.getBoolean(1) && r.getString(2) == "invalid_lobby_id")
+    assert(r.getString(3) == "invalid digit found in string") // ParseIntError Display
+  }
+
+  test("launch date: weekday name must match the calendar date (chrono %a consistency)") {
+    // Apr 11 2021 was a Sunday; "Mon" is a valid weekday token but
+    // inconsistent -> chrono Impossible -> error latch
+    val lines = Seq(
+      say("TF2Center Lobby #42 | x"),
+      say("Launch date: Mon Apr 11 23:33:27 CEST 2021"),
+      say("Map: ignored-after-error")
+    )
+    val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d5", lines)))))
+    val r = Lobby.lobbySettings(routed).collect()(0)
+    assert(!r.getBoolean(1) && r.getString(2) == "invalid_date")
+    assert(r.getString(3) == "no possible date and time matching input")
+    // and the sequential twin agrees
+    val exp = graft.sim.SimExpectations.lobby("d5", lines.toIndexedSeq).get
+    assert(exp.ok == 0L && exp.error_kind == "invalid_date" && exp.error == r.getString(3))
+  }
+
+  test("launch date: timezone resolved first; unknown tz carries its Display string") {
+    val lines = Seq(
+      say("TF2Center Lobby #42 | x"),
+      say("Launch date: Sun Apr 11 23:33:27 PST 2021")
+    )
+    val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d6", lines)))))
+    val r = Lobby.lobbySettings(routed).collect()(0)
+    assert(!r.getBoolean(1) && r.getString(2) == "unknown_timezone")
+    assert(r.getString(3) == "Unknown timezone in date: Sun Apr 11 23:33:27 PST 2021")
+    val exp = graft.sim.SimExpectations.lobby("d6", lines.toIndexedSeq).get
+    assert(exp.error_kind == "unknown_timezone" && exp.error == r.getString(3))
+  }
+
+  test("launch date: out-of-range and garbage map to chrono ParseError Displays") {
+    def errOf(dateVal: String): (String, String) = {
+      val lines = Seq(say("TF2Center Lobby #42 | x"), say(s"Launch date: $dateVal"))
+      val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d7", lines)))))
+      val r = Lobby.lobbySettings(routed).collect()(0)
+      val exp = graft.sim.SimExpectations.lobby("d7", lines.toIndexedSeq).get
+      assert(exp.error_kind == r.getString(2) && exp.error == r.getString(3), dateVal)
+      (r.getString(2), r.getString(3))
+    }
+    assert(errOf("Sun Apr 11 25:00:00 CEST 2021") == ("invalid_date", "input is out of range"))
+    assert(errOf("Xxx Apr 11 23:00:00 CEST 2021") == ("invalid_date", "input contains invalid characters"))
+    assert(errOf("Tue Feb 30 23:00:00 CET 2021") == ("invalid_date", "no possible date and time matching input"))
   }
 }

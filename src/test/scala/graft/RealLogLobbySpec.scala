@@ -42,7 +42,7 @@ class RealLogLobbySpec extends AnyFunSuite {
         val ok = row.getBoolean(1)
         assert((if (ok) 1L else 0L) == e.ok, s"$name ok")
         if (ok) {
-          val st = row.getStruct(3)
+          val st = row.getStruct(4)
           assert(st.getLong(0) == e.id, s"$name lobby id")
           val leader = st.getStruct(1)
           assert(leader.getString(0) == e.leader_name, s"$name leader name")
@@ -62,6 +62,7 @@ class RealLogLobbySpec extends AnyFunSuite {
           assert(st.getString(12) == e.server, s"$name server")
         } else {
           assert(row.getString(2) == e.error_kind, s"$name error kind")
+          assert(row.getString(3) == e.error, s"$name error display")
         }
       }
       if (name == "log_2892242") {
