@@ -40,15 +40,15 @@ object ExplainAudit {
     section("q_broadcast_join (expect BroadcastHashJoin)") {
       SparkEntry.queries("q_broadcast_join")(spark, sfDir)
     }
-    section("q_ngram_jaccard (expect broadcast ANTI-join df cap, NO per-shingle window sort)") {
+    section("q_ngram_jaccard (expect ObjectHashAggregate bounded_collect df cap, ONE explode subtree, NO window sort / self-join)") {
       SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
     }
-    section("lsh_candidates fast (expect broadcast ANTI-join bucket cap, NO window sort)") {
+    section("lsh_candidates fast (expect ObjectHashAggregate bounded_collect bucket cap, ONE minhash subtree)") {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), graft.ops.Dedup.shingles(split(col("text"), " "), 3).as("sh"))
       graft.ops.Dedup.lshCandidates(docs, col("doc_id"), col("sh"), 8, 2)
     }
-    section("tf_ann_lsh (expect broadcast ANTI-join bucket cap)") {
+    section("tf_ann_lsh (expect ObjectHashAggregate bounded_collect bucket cap)") {
       SparkEntry.queries("tf_ann_lsh")(spark, sfDir)
     }
     spark.stop()

@@ -12,23 +12,37 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Dedup {
 
   import TextOps.stableHash60
+  import graft.expr.BoundedCollect.bounded_collect
 
-  /** Drop rows whose key appears more than `maxN` times. Scale-safe shape:
-    * the over-cap key set is computed with a hash aggregate (map-side
-    * partials, AQE-splittable -- no per-key window sort, no single-task
-    * straggler when one key has 10M rows) and is TINY by construction (only
-    * keys beyond the cap), so the removal is a broadcast anti-join that
-    * stays map-side. Used to bound LSH band buckets and shingle document
-    * frequency before any self-join. */
-  private[ops] def dropOverCapKeys(df: DataFrame, keys: Seq[String], maxN: Long): DataFrame = {
-    if (maxN == Long.MaxValue || maxN == Int.MaxValue.toLong) return df
-    val over = df
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__key_n"))
-      .filter(col("__key_n") > maxN)
-      .drop("__key_n")
-    df.join(broadcast(over), keys, "left_anti")
-  }
+  /** (keys..., id) rows -> capped per-key member arrays: ONE hash-aggregate
+    * pass (map-side partial merge, bounded memory per group via
+    * [[graft.expr.BoundedCollect]]); keys with more than `maxN` members
+    * come back NULL and are dropped. This is the scale-safe hot-key cap: no
+    * count-over-window sort exchange, no single-task hot key, and -- unlike
+    * a count-side join -- the (often expensive) input subtree is computed
+    * exactly once instead of three times. */
+  private[ops] def cappedBuckets(df: DataFrame, keys: Seq[String], id: String, maxN: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(bounded_collect(col(id), maxN).as("__ids"))
+      .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
+
+  /** Capped bucket arrays -> member pairs. Undirected: each unordered pair
+    * once per bucket, normalized (pair_a < pair_b); directed: both
+    * orientations. Work per bucket is <= cap^2 by construction. */
+  private[ops] def bucketPairs(buckets: DataFrame, directed: Boolean): DataFrame =
+    if (directed)
+      buckets
+        .select(explode(col("__ids")).as("pair_a"), col("__ids"))
+        .select(col("pair_a"), explode(col("__ids")).as("pair_b"))
+        .filter(col("pair_a") =!= col("pair_b"))
+    else
+      buckets
+        .select(posexplode(col("__ids")).as(Seq("__i", "pair_a")), col("__ids"))
+        .select(col("pair_a"), explode(slice(col("__ids"), col("__i") + 2, size(col("__ids")))).as("pair_b"))
+        .select(
+          least(col("pair_a"), col("pair_b")).as("pair_a"),
+          greatest(col("pair_a"), col("pair_b")).as("pair_b")
+        )
 
   /** Exact dedup by content hash: one row per distinct key with the kept
     * (minimum) id and the duplicate count. Map-side partial aggregation
@@ -63,19 +77,21 @@ object Dedup {
 
   /** MinHash LSH candidate pairs: signatures banded (bandSize rows/band);
     * docs sharing any band bucket become candidates. Returns (id_a, id_b)
-    * with id_a < id_b, distinct. The band join is an equi-join on
-    * (band_index, band_hash) -- a co-partitioned shuffle, not a cross join.
+    * with id_a < id_b, distinct.
     *
-    * `maxBucket` bounds the self-join: a band bucket holding d ids yields
-    * d^2 join rows in one task, and near-identical boilerplate docs (the
-    * common case in web-scale dedup) create exactly such hot buckets.
-    * Buckets with more than `maxBucket` ids are dropped BEFORE the join
-    * (broadcast anti-join on the tiny over-cap bucket set), so per-bucket
-    * work is bounded by construction. RECALL KNOB: ids in a dropped bucket
-    * can still pair through their other bands; pairs connected ONLY through
-    * over-cap buckets are lost -- set the cap above the largest duplicate
-    * cluster that must be detected, or deduplicate such mega-clusters with
-    * [[exactByKey]] first (they are near-exact duplicates by definition). */
+    * Shape: ONE pass computes signatures and bands, one hash-aggregate
+    * groups (band, band_hash) into capped member arrays
+    * ([[cappedBuckets]]), and pairs are generated from the arrays -- no
+    * self-join (which would recompute the minhash subtree for each side
+    * plus a count side) and per-bucket work bounded by maxBucket^2.
+    *
+    * `maxBucket` RECALL KNOB: a band bucket holding more than maxBucket ids
+    * (near-identical boilerplate docs, the common web-dedup pathology) is
+    * dropped whole; its ids can still pair through their other bands, and
+    * pairs connected ONLY through over-cap buckets are lost -- set the cap
+    * above the largest duplicate cluster that must be detected, or
+    * deduplicate mega-clusters with [[exactByKey]] first (they are
+    * near-exact duplicates by definition). */
   def lshCandidates(
       df: DataFrame,
       id: Column,
@@ -96,19 +112,12 @@ object Dedup {
       if (fast) hash(parts: _*).cast("string")
       else concat_ws("|", parts.map(_.cast("string")): _*)
     }
-    val banded = dropOverCapKeys(
-      sigDf.select(
-        col("id"),
-        posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "band_hash"))
-      ),
-      Seq("band", "band_hash"),
-      maxBucket.toLong
+    val banded = sigDf.select(
+      col("id"),
+      posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "band_hash"))
     )
-    banded
-      .as("l")
-      .join(banded.as("r"), Seq("band", "band_hash"))
-      .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    bucketPairs(cappedBuckets(banded, Seq("band", "band_hash"), "id", maxBucket), directed = false)
+      .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
       .distinct()
   }
 
@@ -160,16 +169,17 @@ object Dedup {
   ): DataFrame = {
     val ex = df
       .select(id.as("id"), explode(array_distinct(shingleCol)).as("sh"))
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
-    // df cap via hash-aggregate + broadcast anti-join of the (tiny) over-cap
-    // shingle blacklist -- NOT a count-over-window: a window would sort-
-    // exchange the full exploded shingle table and put a df=10M stop-word
-    // shingle into one straggler task at 100 TB scale
-    val joinable = dropOverCapKeys(ex, Seq("sh"), maxDf.toLong)
-    val inter = joinable
-      .as("l")
-      .join(joinable.as("r"), col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // per-row distinct-shingle count: no explode + re-aggregate subtree (the
+    // join replays this plan once per side, so keep it a bare scan+project)
+    val sizes = df.select(id.as("id"), size(array_distinct(shingleCol)).as("n"))
+    // df cap as a bounded collect per shingle ([[cappedBuckets]]): a shingle
+    // with df > maxDf comes back NULL and is dropped -- exactly the cap
+    // semantics -- in ONE aggregate pass with O(maxDf) memory per shingle.
+    // No count-over-window (full sort exchange + df=10M stop-word shingle in
+    // one straggler task) and no self-join on sh (which recomputes the
+    // exploded table per side); intersections count pairs from the arrays.
+    val inter = bucketPairs(cappedBuckets(ex, Seq("sh"), "id", maxDf), directed = false)
+      .groupBy(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))

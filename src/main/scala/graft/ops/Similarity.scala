@@ -99,19 +99,17 @@ object Similarity {
       .withColumn("qv", quantize1000(col("vec")))
       .select(
         col("id"),
-        col("vec"),
         posexplode(array((0 until tables).map(t => rhpBucketQ(col("qv"), dim, bits, t)): _*))
           .as(Seq("t", "bucket"))
       )
-    // over-cap buckets removed via hash-aggregate + broadcast anti-join
-    // (same rows as a count-over-(t,bucket) window filter, but no sort
-    // exchange and no single-task hot bucket)
-    val bounded = Dedup.dropOverCapKeys(buckets, Seq("t", "bucket"), maxBucket.toLong)
-    val cands = bounded
-      .as("l")
-      .join(bounded.select(col("t"), col("bucket"), col("id").as("rid")).as("r"), Seq("t", "bucket"))
-      .filter(col("l.id") =!= col("rid"))
-      .select(col("l.id").as("qid"), col("rid").as("cid"))
+    // one hash-aggregate pass groups each (table, bucket) into a capped
+    // member array (Dedup.cappedBuckets: over-cap buckets -> NULL, O(cap)
+    // memory per group); DIRECTED candidate pairs come from the arrays --
+    // every qid needs all its neighbors -- with no self-join (which would
+    // recompute the hyperplane projections per side plus a count side)
+    val cands = Dedup
+      .bucketPairs(Dedup.cappedBuckets(buckets, Seq("t", "bucket"), "id", maxBucket), directed = true)
+      .select(col("pair_a").as("qid"), col("pair_b").as("cid"))
       .distinct()
     val scored = cands
       .join(df.select(col("id").as("qid"), col("vec").as("qv")), Seq("qid"))

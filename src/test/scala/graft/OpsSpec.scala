@@ -126,6 +126,35 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.length == 1 && exact.head.getLong(2) == 2000L)
   }
 
+  test("bounded_collect: exact cap kept, cap+1 latches NULL across partial merges") {
+    import graft.expr.BoundedCollect.bounded_collect
+    // 40 partitions force map-side partials + serde + merge for every group
+    val rows = ((1 to 5).map(i => ("at", i.toLong)) ++       // == cap -> kept
+      (1 to 6).map(i => ("over", i.toLong)) ++               // cap+1 -> NULL
+      Seq(("tiny", 99L))).toDF("k", "v").repartition(40)
+    val got = rows
+      .groupBy("k")
+      .agg(bounded_collect(col("v"), 5).as("ids"))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq.sorted))
+      .toMap
+    assert(got("at").contains(Seq(1L, 2L, 3L, 4L, 5L)), "group of exactly max is kept intact")
+    assert(got("over").isEmpty, "group of max+1 must be NULL (dropped by the cap)")
+    assert(got("tiny").contains(Seq(99L)))
+
+    // string elements: UTF8String buffers are reused by unsafe rows; the
+    // clone in update() must keep values distinct
+    val strs = (0 until 8).map(i => ("g", s"v$i")).toDF("k", "s").repartition(8)
+    val arr = strs
+      .groupBy("k")
+      .agg(bounded_collect(col("s"), 100).as("vals"))
+      .collect()(0)
+      .getSeq[String](1)
+      .toSeq
+      .sorted
+    assert(arr == (0 until 8).map(i => s"v$i"))
+  }
+
   test("simhash single-pass fold equals the per-bit formulation") {
     // per-bit reference formulation (the pre-optimization shape), inline
     def perBit(words: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
