@@ -66,11 +66,15 @@ object Bench {
     val noCache = sys.env.get("SPARK_GRAFT_NO_CACHE").contains("1")
     val routed0 = TfPipeline.routed(TfPipeline.envelope(input))
     val routed = if (noCache) routed0 else routed0.persist()
+    // the subject dimension is tiny (docs x ~25 subjects) and consumed by
+    // both output legs: persisting it makes its joins statically
+    // broadcastable and keeps the range-sampling pass from recomputing it
+    val dim = TfPipeline.subjectDim(routed)
+    val dimP = if (noCache) dim else dim.persist()
     try {
-      val dim = TfPipeline.subjectDim(routed)
-      force(TfPipeline.perPlayer(routed, dim))
-      force(TfPipeline.chat(routed, dim))
-    } finally if (!noCache) { routed.unpersist(); () }
+      force(TfPipeline.perPlayer(routed, dimP))
+      force(TfPipeline.chat(routed, dimP))
+    } finally if (!noCache) { routed.unpersist(); dimP.unpersist(); () }
   }
 
   /** Aggregate layer reading the COMMITTED route store (partition-pruned
@@ -79,9 +83,11 @@ object Bench {
   def aggregatesFromStore(spark: SparkSession, storeDir: String): Unit = {
     val stored = spark.read.parquet(s"$storeDir/data")
     val routed = TfPipeline.routedFromStore(stored)
-    val dim = TfPipeline.subjectDim(routed)
-    force(TfPipeline.perPlayer(routed, dim))
-    force(TfPipeline.chat(routed, dim))
+    val dim = TfPipeline.subjectDim(routed).persist()
+    try {
+      force(TfPipeline.perPlayer(routed, dim))
+      force(TfPipeline.chat(routed, dim))
+    } finally { dim.unpersist(); () }
   }
 
   def main(args: Array[String]): Unit = {

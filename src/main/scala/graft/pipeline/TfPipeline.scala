@@ -105,7 +105,13 @@ object TfPipeline {
     * recovery comparison (null ts -> 0) and its process-path `unwrap()` panic
     * (handled, unconsumed, error-free line with null ts -> hard error).
     */
-  def classified(env: DataFrame): DataFrame = {
+  def classified(env: DataFrame): DataFrame = classifyFlags(classifyPointwise(env))
+
+  /** Pointwise half of [[classified]]: typed params map, handled/typed_err
+    * flags and the consume-candidate flag -- no window, so callers can prune
+    * heavyweight payload columns (params, pm, date) BEFORE the per-doc window
+    * exchange that [[classifyFlags]] introduces. */
+  def classifyPointwise(env: DataFrame): DataFrame = {
     val handled = col("status") === 0 && col("event_type").isInCollection(HandledTypes)
     val withPm = env
       .withColumn("handled", handled)
@@ -119,12 +125,19 @@ object TfPipeline {
       )
     val rescueA =
       col("typed_err") && col("params").contains(concat(lit("L "), substring(col("date"), 1, 10)))
-    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, 0)
-    val consumesNext = col("consume") && col("has_next")
     withPm
       .withColumn("rescue_a", rescueA)
       // cand: an error line that, IF evaluated, consumes its successor
       .withColumn("cand", col("typed_err") && !col("rescue_a"))
+  }
+
+  /** Window half of [[classified]]: sequential-consumption recovery flags
+    * over the doc order. Only reads small fixed-width columns (status, ts,
+    * handled, typed_err, cand); everything else is passthrough payload. */
+  def classifyFlags(pw: DataFrame): DataFrame = {
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, 0)
+    val consumesNext = col("consume") && col("has_next")
+    pw
       .withColumn("idx", row_number().over(wDoc))
       // idx of the last non-cand line at-or-before this row = run anchor
       .withColumn("run_anchor", max(when(!col("cand"), col("idx"))).over(wRun))
@@ -171,7 +184,13 @@ object TfPipeline {
     * valid-but-unhandled still emits `[{},{}]` like main.rs, while an
     * aborted doc emits nothing. */
   def routedWithUniverse(env: DataFrame): (DataFrame, DataFrame) = {
-    val cls = classified(env.drop("tokens"))
+    // flatten the typed fields POINTWISE and drop the heavyweight payload
+    // (pm map, raw params, date) before the per-doc window exchange: the
+    // classification flags only read small fixed-width columns, so the
+    // shuffle + sort carry primitives instead of a serialized map per row
+    val pruned = flattenTyped(classifyPointwise(env.drop("tokens")))
+      .drop("pm", "params", "date")
+    val cls = classifyFlags(pruned)
     val flagged = cls.withColumn(
       "doc_error",
       max(when(col("hard_error"), 1).otherwise(0)).over(Window.partitionBy("doc_id"))
@@ -197,37 +216,23 @@ object TfPipeline {
       .select("doc_id")
       .distinct()
     deriveRouted(
-      stored
-        .filter(col("route").isInCollection(HandledTypes)) // partition pruning
-        .join(broadcast(errorDocs), Seq("doc_id"), "left_anti")
-        .withColumn("ts", graft.expr.GraftExpressions.date_epoch(col("date")))
-        .withColumn("pm", params_map(col("event_type"), col("params")))
+      flattenTyped(
+        stored
+          .filter(col("route").isInCollection(HandledTypes)) // partition pruning
+          .join(broadcast(errorDocs), Seq("doc_id"), "left_anti")
+          .withColumn("ts", graft.expr.GraftExpressions.date_epoch(col("date")))
+          .withColumn("pm", params_map(col("event_type"), col("params")))
+      )
     )
   }
 
-  /** Shared derivation: surviving handled rows (with ts + pm) -> the routed
-    * frame consumed by every module aggregate. */
-  private def deriveRouted(filtered: DataFrame): DataFrame = {
-    filtered
+  /** Flatten the typed fields the modules need into primitive columns
+    * (pointwise, from `pm`): columnar-cache-friendly (a cached MapType column
+    * deserializes generically and every element_at re-scans the map), and
+    * shuffle-friendly (callers drop `pm` before any exchange). */
+  private def flattenTyped(df: DataFrame): DataFrame = {
+    df
       .withColumn("sid", subject_id(col("kind"), col("subject")))
-      .withColumn("start_ts", first(col("ts")).over(wDoc))
-      .withColumn("time", pmod(col("ts") - col("start_ts"), lit(4294967296L)))
-      // round-active gate (A13) hoisted here so the one ordered-window pass
-      // is shared by every consumer of the (persisted) routed frame
-      .withColumn(
-        "active",
-        coalesce(
-          last(
-            when(col("event_type") === "round_start", lit(true))
-              .when(col("event_type") === "round_win", lit(false)),
-            ignoreNulls = true
-          ).over(wDoc),
-          lit(false)
-        )
-      )
-      // flatten the typed fields the modules need into primitive columns:
-      // columnar-cache-friendly (a cached MapType column deserializes
-      // generically and every element_at re-scans the map)
       .withColumn("text", element_at(col("pm"), "_text"))
       .withColumn(
         "target_raw",
@@ -244,6 +249,28 @@ object TfPipeline {
         class_normalize(
           when(col("event_type") === "spawned", element_at(col("pm"), "as"))
             .when(col("event_type") === "role_change", element_at(col("pm"), "to"))
+        )
+      )
+  }
+
+  /** Shared derivation: surviving handled rows (flattened, with ts) -> the
+    * routed frame consumed by every module aggregate. The two ordered windows
+    * share the classification pass's (doc_id) partitioning + line_no sort. */
+  private def deriveRouted(filtered: DataFrame): DataFrame = {
+    filtered
+      .withColumn("start_ts", first(col("ts")).over(wDoc))
+      .withColumn("time", pmod(col("ts") - col("start_ts"), lit(4294967296L)))
+      // round-active gate (A13) hoisted here so the one ordered-window pass
+      // is shared by every consumer of the (persisted) routed frame
+      .withColumn(
+        "active",
+        coalesce(
+          last(
+            when(col("event_type") === "round_start", lit(true))
+              .when(col("event_type") === "round_win", lit(false)),
+            ignoreNulls = true
+          ).over(wDoc),
+          lit(false)
         )
       )
       .select("doc_id", "line_no", "source", "kind", "subject", "event_type", "ts",
@@ -595,6 +622,13 @@ object TfPipeline {
         ).as("heals"),
         coalesce(col("medic"), medicDefault).as("medic")
       )
+      // materialization boundary before the global output sort: the range
+      // partitioner's sampling pass re-executes its child, and the join tree
+      // above is deliberately exchange-free on top of the (doc_id)-clustered
+      // routed frame -- without this shuffle the sampler would recompute
+      // every module aggregate a second time. One extra exchange of the
+      // tiny per-player output buys single execution of the heavy tree.
+      .repartition(col("doc_id"))
       .orderBy("doc_id", "steam64")
   }
 
