@@ -589,21 +589,81 @@ object TfPipeline {
 
   /** Per-player assembled output for every interned PLAYER subject, ordered
     * by (doc_id, steam64). */
-  def perPlayer(routedDf: DataFrame, dim: DataFrame): DataFrame = {
+  def perPlayer(routedDf: DataFrame, dim: DataFrame): DataFrame =
+    perPlayerAssembled(routedDf, dim)
+      // materialization boundary before the global output sort: the range
+      // partitioner's sampling pass re-executes its child, and the join tree
+      // above is deliberately exchange-free on top of the (doc_id)-clustered
+      // routed frame -- without this shuffle the sampler would recompute
+      // every module aggregate a second time. One extra exchange of the
+      // tiny per-player output buys single execution of the heavy tree.
+      .repartition(col("doc_id"))
+      .orderBy("doc_id", "steam64")
+
+  private val medicTypeDdl =
+    "struct<advantages_lost:bigint,biggest_advantage_lost:float," +
+      "near_full_charge_death:bigint,deaths_after_uber:bigint," +
+      "avg_time_before_healing:float,avg_time_to_build:float," +
+      "avg_time_to_use:float,avg_uber_length:float,charge_count:bigint,drops:bigint>"
+
+  /** [[perPlayer]] without the ordered-output contract (the assembly only) --
+    * separately timeable, and the right shape for sinks that do their own
+    * partitioning.
+    *
+    * Assembly is a SINGLE-PASS merge, not a join chain: each module's
+    * (doc_id, sid)-keyed output contributes one null-padded row to a union
+    * that ONE aggregate collapses with first(_, ignoreNulls) -- exact because
+    * every module emits at most one row per key (J5 semantics). One exchange
+    * of already-aggregated rows replaces three left-outer sort-merge joins
+    * (each of which costs two exchanges plus a merge pass), and the shape is
+    * skew-free at 100 TB because the key space is (doc, player). */
+  def perPlayerAssembled(routedDf: DataFrame, dim: DataFrame): DataFrame = {
     val players = dim
       .filter(shiftrightunsigned(col("sid"), 32) === 1) // SubjectId::steam_id() is Some
       .withColumn("account", col("sid").bitwiseAND(lit(0xffffffffL)))
       .withColumn("steam3", concat(lit("[U:1:"), col("account"), lit("]")))
       .withColumn("steam64", col("account") + lit(graft.expr.Steam.STEAM64_BASE))
 
-    val cs = classStats(routedDf)
-    val hs = healSpread(routedDf)
-    val ms = medicStats(routedDf)
+    val nStr = lit(null).cast("string")
+    val nLong = lit(null).cast("bigint")
+    val nArr = lit(null).cast("array<bigint>")
+    val nMap = lit(null).cast("map<bigint,bigint>")
+    val nMedic = lit(null).cast(medicTypeDdl)
 
-    players
-      .join(cs, Seq("doc_id", "sid"), "left")
-      .join(hs, Seq("doc_id", "sid"), "left")
-      .join(ms, Seq("doc_id", "sid"), "left")
+    def leg(df: DataFrame, cols: Column*): DataFrame =
+      df.select(Seq(col("doc_id"), col("sid")) ++ cols: _*)
+
+    val unioned =
+      leg(players, col("steam3"), col("steam64"), col("name"),
+        nArr.as("kills"), nArr.as("deaths"), nArr.as("assists"), nArr.as("damage"),
+        nMap.as("heals_by_account"), nMedic.as("medic"))
+        .unionByName(leg(classStats(routedDf), nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
+          col("kills"), col("deaths"), col("assists"), col("damage"),
+          nMap.as("heals_by_account"), nMedic.as("medic")))
+        .unionByName(leg(healSpread(routedDf), nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
+          nArr.as("kills"), nArr.as("deaths"), nArr.as("assists"), nArr.as("damage"),
+          col("heals_by_account"), nMedic.as("medic")))
+        .unionByName(leg(medicStats(routedDf), nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
+          nArr.as("kills"), nArr.as("deaths"), nArr.as("assists"), nArr.as("damage"),
+          nMap.as("heals_by_account"), col("medic")))
+
+    unioned
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(
+        first(col("steam3"), ignoreNulls = true).as("steam3"),
+        first(col("steam64"), ignoreNulls = true).as("steam64"),
+        first(col("name"), ignoreNulls = true).as("name"),
+        first(col("kills"), ignoreNulls = true).as("kills"),
+        first(col("deaths"), ignoreNulls = true).as("deaths"),
+        first(col("assists"), ignoreNulls = true).as("assists"),
+        first(col("damage"), ignoreNulls = true).as("damage"),
+        first(col("heals_by_account"), ignoreNulls = true).as("heals_by_account"),
+        first(col("medic"), ignoreNulls = true).as("medic")
+      )
+      // module rows whose subject never interned as a player (bots, world)
+      // have no players leg -> excluded, exactly like the old players-side
+      // left join
+      .filter(col("steam3").isNotNull)
       .select(
         col("doc_id"),
         col("steam3"),
@@ -622,14 +682,6 @@ object TfPipeline {
         ).as("heals"),
         coalesce(col("medic"), medicDefault).as("medic")
       )
-      // materialization boundary before the global output sort: the range
-      // partitioner's sampling pass re-executes its child, and the join tree
-      // above is deliberately exchange-free on top of the (doc_id)-clustered
-      // routed frame -- without this shuffle the sampler would recompute
-      // every module aggregate a second time. One extra exchange of the
-      // tiny per-player output buys single execution of the heavy tree.
-      .repartition(col("doc_id"))
-      .orderBy("doc_id", "steam64")
   }
 
   /** Global chat output: one row per doc with the ordered message array. */
