@@ -138,8 +138,17 @@ object TfPipeline {
     val wRun = wDoc.rowsBetween(Window.unboundedPreceding, 0)
     val consumesNext = col("consume") && col("has_next")
     pw
+      // window pass 1: everything that reads only base columns, adjacent so
+      // CollapseWindow fuses them into ONE WindowExec over the shared
+      // (doc_id, line_no) sort
       .withColumn("idx", row_number().over(wDoc))
-      // idx of the last non-cand line at-or-before this row = run anchor
+      .withColumn("next_ts", lead(col("ts"), 1).over(wDoc))
+      .withColumn("next_status", lead(col("status"), 1).over(wDoc))
+      // status is a non-null envelope byte, so next_status is null exactly
+      // past the partition end
+      .withColumn("has_next", col("next_status").isNotNull)
+      // window pass 2 (depends on idx): idx of the last non-cand line
+      // at-or-before this row = run anchor
       .withColumn("run_anchor", max(when(!col("cand"), col("idx"))).over(wRun))
       // E: evaluated-and-consuming error = cand at an even 0-based offset
       // within its maximal cand run (odd offsets are consumed, inert)
@@ -147,10 +156,8 @@ object TfPipeline {
         "consume",
         col("cand") && pmod(col("idx") - coalesce(col("run_anchor"), lit(0L)) - 1, lit(2)) === 0
       )
+      // window pass 3 (depends on consume)
       .withColumn("consumed", coalesce(lag(col("consume"), 1).over(wDoc), lit(false)))
-      .withColumn("has_next", lead(lit(1), 1).over(wDoc).isNotNull)
-      .withColumn("next_ts", lead(col("ts"), 1).over(wDoc))
-      .withColumn("next_status", lead(col("status"), 1).over(wDoc))
       .withColumn("consumes_next", consumesNext)
       .withColumn(
         "hard_error",
