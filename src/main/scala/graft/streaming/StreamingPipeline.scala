@@ -92,4 +92,229 @@ object StreamingPipeline {
       .format("memory")
       .queryName(name)
       .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
+
+  // ---------------------------------------------------------------------
+  // Streaming medic module with reference-sequential semantics
+  // ---------------------------------------------------------------------
+
+  /** One classified line for the per-doc state machine: pointwise columns
+    * only (the same expressions as the batch path), ordering restored inside
+    * the keyed state handler. tsOpt is None on an invalid date. */
+  final case class SeqLine(
+      doc_id: String,
+      line_no: Long,
+      status: Byte,
+      handled: Boolean,
+      typed_err: Boolean,
+      rescue_a: Boolean,
+      tsOpt: Option[Long],
+      sid: Long,
+      event_type: String,
+      charge: Long,
+      duration: Float,
+      f_time: Float
+  )
+
+  /** Mutable-free per-medic accumulator mirroring TfPipeline.medicStats'
+    * aggregate columns (sums kept in double like Spark's FloatType sum). */
+  final case class MedicAcc(
+      advantagesLost: Long = 0L,
+      biggestAdv: Float = 0f,
+      nearFull: Long = 0L,
+      deathsAfterUber: Long = 0L,
+      totalBeforeHeal: Double = 0d,
+      healCount: Long = 0L,
+      totalBuild: Long = 0L,
+      buildCount: Long = 0L,
+      totalUber: Double = 0d,
+      chargeCount: Long = 0L,
+      drops: Long = 0L,
+      // sequential machine bits (batch twin: fh/cr line windows)
+      lastFhTime: Long = 0L,
+      fhSinceLastCr: Boolean = false,
+      uberEnd: Long = 0L
+  )
+
+  /** Per-doc state: the sequential recovery machine (lib.rs:58-104) plus the
+    * per-medic accumulators. `pendingConsumeTs` is Some(errTs) when the NEXT
+    * line is consumed by a just-evaluated error. */
+  final case class DocState(
+      startTs: Option[Long] = None,
+      pendingConsumeTs: Option[Long] = None,
+      aborted: Boolean = false,
+      nextLine: Long = 0L, // resume guard: lines below this were processed
+      medics: Map[Long, MedicAcc] = Map.empty
+  )
+
+  final case class MedicRow(
+      doc_id: String,
+      sid: Long,
+      aborted: Boolean,
+      advantages_lost: Long,
+      biggest_advantage_lost: Float,
+      near_full_charge_death: Long,
+      deaths_after_uber: Long,
+      avg_time_before_healing: Float,
+      avg_time_to_build: Float,
+      avg_time_to_use: Float,
+      avg_uber_length: Float,
+      charge_count: Long,
+      drops: Long
+  )
+
+  /** Classified streaming lines: the batch pointwise classifier over the
+    * streaming envelope (stateless -> identical semantics), flattened to the
+    * medic-typed primitives. */
+  def sequencedStream(spark: SparkSession, dir: String): DataFrame = {
+    val env = spark.readStream
+      .schema(inputSchema)
+      .parquet(dir)
+      .withColumn("line", tokens_to_string(col("tokens")))
+      .withColumn("r", parse_raw_line(col("line")))
+      .select(
+        col("doc_id"),
+        col("line_no"),
+        col("r.status").as("status"),
+        col("r.date").as("date"),
+        col("r.kind").as("kind"),
+        col("r.subject").as("subject"),
+        col("r.event_type").as("event_type"),
+        col("r.params").as("params"),
+        col("r.ts").as("ts")
+      )
+    TfPipeline
+      .classifyPointwise(env)
+      // sid is only read on handled medic rows; sentinel for non-OK lines
+      .withColumn("sid", coalesce(subject_id(col("kind"), col("subject")), lit(-2L)))
+      .withColumn("charge", coalesce(clamp_u32(element_at(col("pm"), "ubercharge")), lit(0L)))
+      .withColumn("duration", coalesce(parse_f32(element_at(col("pm"), "duration")), lit(0f)))
+      .withColumn("f_time", coalesce(parse_f32(element_at(col("pm"), "time")), lit(0f)))
+      .select(
+        col("doc_id"), col("line_no"), col("status"), col("handled"),
+        col("typed_err"), col("rescue_a"), col("ts").as("tsOpt"), col("sid"),
+        coalesce(col("event_type"), lit("")).as("event_type"),
+        col("charge"), col("duration"), col("f_time")
+      )
+  }
+
+  /** IEEE f32 division with the batch f32div's exact semantics. */
+  private def f32div(n: Float, d: Float): Float =
+    if (d == 0f) { if (n == 0f) Float.NaN else Float.PositiveInfinity }
+    else (n.toDouble / d.toDouble).toFloat
+
+  private def u32(v: Long): Long = v & 0xffffffffL
+
+  /** Streaming medic stats keyed by doc: flatMapGroupsWithState runs the
+    * reference's SEQUENTIAL per-doc machine -- error-consumption chains,
+    * doc-level abort, doc-relative event time -- over micro-batches (events
+    * sorted by line_no within a batch; cross-batch order is the source's
+    * file order, the streaming contract for sequence logs). Emits the
+    * current per-(doc, medic) stats every batch; an aborted doc emits a
+    * single tombstone row (sid = -1, aborted = true) and nothing after,
+    * mirroring the batch path's whole-doc exclusion. */
+  def medicStatsStream(spark: SparkSession, seq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+
+    def emitRows(doc: String, st: DocState): Iterator[MedicRow] =
+      st.medics.iterator.map { case (sid, a) =>
+        if (a.healCount > 0)
+          MedicRow(doc, sid, aborted = false,
+            a.advantagesLost, a.biggestAdv, a.nearFull, a.deathsAfterUber,
+            f32div(a.totalBeforeHeal.toFloat, a.healCount.toFloat),
+            f32div(a.totalBuild.toFloat, a.buildCount.toFloat),
+            f32div(0f, a.chargeCount.toFloat),
+            f32div(a.totalUber.toFloat, a.chargeCount.toFloat),
+            a.chargeCount, a.drops)
+        else
+          MedicRow(doc, sid, aborted = false, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L)
+      }
+
+    seq
+      .as[SeqLine]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[DocState, MedicRow](
+        OutputMode.Update,
+        GroupStateTimeout.NoTimeout
+      ) { case (doc, lines, state) =>
+        var st = state.getOption.getOrElse(DocState())
+        if (st.aborted) Iterator.empty
+        else {
+          val ordered = lines.toArray.sortBy(_.line_no).filter(_.line_no >= st.nextLine)
+          var i = 0
+          while (i < ordered.length && !st.aborted) {
+            val l = ordered(i)
+            i += 1
+            st = st.copy(nextLine = l.line_no + 1)
+            st.pendingConsumeTs match {
+              case Some(errTs) =>
+                // consumed line: its own content is never evaluated; both
+                // lines drop iff it parses OK with a >60s forward jump
+                if (!(l.status == 0 && l.tsOpt.getOrElse(0L) - errTs > 60))
+                  st = st.copy(aborted = true, pendingConsumeTs = None)
+                else st = st.copy(pendingConsumeTs = None)
+              case None =>
+                if (l.status == 2) st = st.copy(aborted = true) // Malformed envelope
+                else if (l.status == 0 && l.handled) {
+                  if (l.typed_err) {
+                    if (!l.rescue_a)
+                      // consume the next physical line (if the stream ends
+                      // first, the reference breaks -- same as never seeing it)
+                      st = st.copy(pendingConsumeTs = Some(l.tsOpt.getOrElse(0L)))
+                  } else if (l.tsOpt.isEmpty) st = st.copy(aborted = true) // date panic
+                  else {
+                    val ts = l.tsOpt.get
+                    val time = st.startTs match {
+                      case Some(s) => u32(ts - s)
+                      case None    => st = st.copy(startTs = Some(ts)); 0L
+                    }
+                    if (TfPipeline.MedicTypes.contains(l.event_type)) {
+                      val a = st.medics.getOrElse(l.sid, MedicAcc())
+                      val b = l.event_type match {
+                        case "first_heal" =>
+                          a.copy(
+                            totalBeforeHeal = a.totalBeforeHeal + l.f_time,
+                            healCount = a.healCount + 1,
+                            lastFhTime = time,
+                            fhSinceLastCr = true
+                          )
+                        case "charge_ready" =>
+                          val consume = a.fhSinceLastCr && a.lastFhTime > 0
+                          a.copy(
+                            totalBuild = a.totalBuild + (if (consume) math.max(time - a.lastFhTime, 0L) else 0L),
+                            buildCount = a.buildCount + (if (consume) 1 else 0),
+                            fhSinceLastCr = false
+                          )
+                        case "charge_ended" =>
+                          a.copy(uberEnd = time, totalUber = a.totalUber + l.duration)
+                        case "charge_deployed" => a.copy(chargeCount = a.chargeCount + 1)
+                        case "advantage_lost" =>
+                          a.copy(
+                            advantagesLost = a.advantagesLost + 1,
+                            biggestAdv = if (l.f_time > a.biggestAdv) l.f_time else a.biggestAdv
+                          )
+                        case "medic_death" =>
+                          a.copy(
+                            nearFull = a.nearFull + (if (l.charge >= 95 && l.charge < 100) 1 else 0),
+                            deathsAfterUber =
+                              a.deathsAfterUber + (if (math.max(time - a.uberEnd, 0L) <= 10) 1 else 0),
+                            drops = a.drops + (if (l.charge >= 100) 1 else 0)
+                          )
+                        case _ => a
+                      }
+                      st = st.copy(medics = st.medics.updated(l.sid, b))
+                    }
+                  }
+                }
+              // non-OK short/unhandled lines: skipped, like does_handle
+            }
+          }
+          state.update(st)
+          if (st.aborted)
+            Iterator.single(MedicRow(doc, -1L, aborted = true, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L))
+          else emitRows(doc, st)
+        }
+      }
+      .toDF()
+  }
 }

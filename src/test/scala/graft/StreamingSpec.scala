@@ -1,6 +1,7 @@
 package graft
 
 import graft.loggen.LogGen
+import graft.pipeline.TfPipeline
 import graft.streaming.StreamingPipeline
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
@@ -53,6 +54,88 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.sql("select * from builds").collect()
       assert(rows.nonEmpty)
       assert(rows.forall(_.getLong(2) >= 0))
+    } finally q.stop()
+  }
+
+  test("streaming medic module (flatMapGroupsWithState) equals batch medicStats exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    val input = LogGen.generate(spark, 12, 400, 42L).toDF()
+    input.write.mode("overwrite").parquet(dir)
+
+    val seq = StreamingPipeline.sequencedStream(spark, dir)
+    val q = StreamingPipeline
+      .memorySink(StreamingPipeline.medicStatsStream(spark, seq), "medics_stream", complete = false)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark
+        .sql("select * from medics_stream")
+        // latest emission per key (single-batch here, but be order-robust)
+        .groupBy("doc_id", "sid")
+        .agg(
+          last(col("aborted")).as("aborted"),
+          last(col("advantages_lost")).as("advantages_lost"),
+          last(col("biggest_advantage_lost")).as("biggest_advantage_lost"),
+          last(col("near_full_charge_death")).as("near_full_charge_death"),
+          last(col("deaths_after_uber")).as("deaths_after_uber"),
+          last(col("avg_time_before_healing")).as("avg_time_before_healing"),
+          last(col("avg_time_to_build")).as("avg_time_to_build"),
+          last(col("avg_time_to_use")).as("avg_time_to_use"),
+          last(col("avg_uber_length")).as("avg_uber_length"),
+          last(col("charge_count")).as("charge_count"),
+          last(col("drops")).as("drops")
+        )
+
+      val tombstoned = got.filter(col("aborted")).select("doc_id").collect().map(_.getString(0)).toSet
+      val streamed = got
+        .filter(!col("aborted"))
+        .collect()
+        .map { r =>
+          (r.getString(0), r.getLong(1)) ->
+            (r.getLong(3), r.getFloat(4), r.getLong(5), r.getLong(6), r.getFloat(7),
+              r.getFloat(8), r.getFloat(9), r.getFloat(10), r.getLong(11), r.getLong(12))
+        }
+        .toMap
+
+      // batch twin on the identical input
+      val env = TfPipeline.envelope(input)
+      val (universe, routed) = TfPipeline.routedWithUniverse(env)
+      val abortedBatch = input
+        .select("doc_id").distinct()
+        .join(universe, Seq("doc_id"), "left_anti")
+        .collect().map(_.getString(0)).toSet
+      assert(tombstoned == abortedBatch, "streaming tombstones must equal batch doc aborts")
+
+      val batch = TfPipeline
+        .medicStats(routed)
+        .select(
+          col("doc_id"), col("sid"),
+          col("medic.advantages_lost"), col("medic.biggest_advantage_lost"),
+          col("medic.near_full_charge_death"), col("medic.deaths_after_uber"),
+          col("medic.avg_time_before_healing"), col("medic.avg_time_to_build"),
+          col("medic.avg_time_to_use"), col("medic.avg_uber_length"),
+          col("medic.charge_count"), col("medic.drops")
+        )
+        .collect()
+        .map { r =>
+          (r.getString(0), r.getLong(1)) ->
+            (r.getLong(2), r.getFloat(3), r.getLong(4), r.getLong(5), r.getFloat(6),
+              r.getFloat(7), r.getFloat(8), r.getFloat(9), r.getLong(10), r.getLong(11))
+        }
+        .toMap
+
+      assert(batch.nonEmpty, "generator must produce medic events for this differential to bite")
+      assert(streamed.keySet == batch.keySet, "streaming medic universe must equal batch")
+      for ((k, b) <- batch) {
+        val s = streamed(k)
+        // NaN-tolerant exact equality: f32div yields NaN for 0/0 on both sides
+        def feq(x: Float, y: Float): Boolean = (x.isNaN && y.isNaN) || x == y
+        assert(s._1 == b._1 && s._3 == b._3 && s._4 == b._4 && s._9 == b._9 && s._10 == b._10,
+          s"count fields diverge at $k: $s vs $b")
+        assert(feq(s._2, b._2) && feq(s._5, b._5) && feq(s._6, b._6) && feq(s._7, b._7) && feq(s._8, b._8),
+          s"float fields diverge at $k: $s vs $b")
+      }
     } finally q.stop()
   }
 }
