@@ -126,7 +126,11 @@ object Bench {
     // routed store for the store-based aggregate leg (written outside the
     // headline timings; the committed write itself is timed below as
     // tf_store_write into fresh dirs)
-    val storeBase = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft-bench-store")
+    // unique per invocation: leftover w-dirs from a PREVIOUS bench run would
+    // otherwise turn tf_store_write into a manifest-resume no-op (observed:
+    // 0.11s "writes" against a stale /tmp store)
+    val storeBase = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft-bench-store") +
+      "/" + java.lang.Long.toHexString(System.nanoTime())
     val storeDir = s"$storeBase/r"
     val routable = TfPipeline.routable(TfPipeline.envelope(input))
     graft.pipeline.Route.writeRouted(spark, routable, storeDir, graft.pipeline.Route.fingerprint(input))

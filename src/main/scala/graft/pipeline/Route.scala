@@ -52,8 +52,15 @@ object Route {
     }
     Files.createDirectories(Paths.get(dir))
 
-    // one shuffle-free pass: write partitioned data
-    routable.write
+    // cluster by route before the partitioned write: without it every
+    // (doc-partitioned) task opens a file per route it sees -- tasks x ~45
+    // routes of tiny files, and the commit protocol dominates wall time.
+    // REBALANCE is the AQE-aware form: route-pure output partitions, sized
+    // to the advisory target, with skewed routes (damage/kill at scale)
+    // split across several files instead of one straggler writer.
+    routable
+      .hint("rebalance", col("route"))
+      .write
       .mode("overwrite")
       .partitionBy("route")
       .parquet(s"$dir/data")
