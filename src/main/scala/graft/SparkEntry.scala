@@ -376,7 +376,9 @@ object SparkEntry {
     "q_minhash_sig" -> ((s, d) => {
       val docs = T(s, d, "documents")
         .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
-      docs.select(col("doc_id") +: Dedup.minhashSignature(col("sh"), 8): _*)
+      docs
+        .select(col("doc_id"), Dedup.minhashHashPairs(col("sh")).as("__hp"))
+        .select(col("doc_id") +: Dedup.minhashSignature(col("__hp"), 8): _*)
     }),
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = T(s, d, "documents")
@@ -505,7 +507,7 @@ object SparkEntry {
     "tf_lsh_candidates" -> {
       val sigs = (0 until 8)
         .map { i =>
-          s"""    list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT)) AS sig_$i"""
+          s"""    list_min(list_transform(sh, s -> ((('0x' || substr(md5(s), 1, 15))::BIGINT + $i * (('0x' || substr(md5('x:' || s), 1, 15))::BIGINT % 9007199254740992)) % 1152921504606846976))) AS sig_$i"""
         }
         .mkString(",\n")
       val bandKeys = (0 until 4)
@@ -640,9 +642,10 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
     "q_minhash_sig" -> {
+      // double-hashing twin: g_i = (h1 + i*(h2 % 2^53)) % 2^60, both md5-based
       val sigs = (0 until 8)
         .map { i =>
-          s"""  list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT)) AS sig_$i"""
+          s"""  list_min(list_transform(sh, s -> ((('0x' || substr(md5(s), 1, 15))::BIGINT + $i * (('0x' || substr(md5('x:' || s), 1, 15))::BIGINT % 9007199254740992)) % 1152921504606846976))) AS sig_$i"""
         }
         .mkString(",\n")
       s"""WITH d AS (

@@ -61,18 +61,46 @@ object Dedup {
         )
       )
 
-  /** k MinHash values over the distinct shingle set, salt-indexed so every
-    * hash function is independent: sig_i = min over s of h(i || s).
-    * `fast=true` uses native xxhash64 (codegen'd, ~20x cheaper); the default
-    * md5-hex hash is reproducible in DuckDB for the oracle twins. */
-  def minhashSignature(shingleCol: Column, k: Int, fast: Boolean = false): Seq[Column] =
+  /** Per-shingle (h1, h2) base-hash pairs for double-hashing MinHash
+    * (Kirsch-Mitzenmacher): the k signature functions derive affinely from
+    * two md5-based hashes, `g_i = (h1 + i * (h2 mod 2^53)) mod 2^60` --
+    * exact 64-bit integer arithmetic on any engine (no overflow:
+    * i*(2^53) + 2^60 < 2^61), so the DuckDB oracle reproduces it. Project
+    * THIS column first, then take [[minhashSignature]] columns off the
+    * projected frame: CollapseProject keeps the expensive hash pass
+    * single-copy (it never duplicates non-cheap multi-referenced producer
+    * expressions), so the shingle set is md5-hashed twice TOTAL instead of
+    * once per signature function. Measured 2.5x faster than the per-salt
+    * md5 formulation at sf0.1. */
+  def minhashHashPairs(shingleCol: Column): Column =
+    transform(
+      shingleCol,
+      s =>
+        struct(
+          stableHash60(s).as("h1"),
+          pmod(stableHash60(concat(lit("x:"), s)), lit(9007199254740992L)).as("h2") // 2^53
+        )
+    )
+
+  /** sig_0..sig_{k-1} from a projected [[minhashHashPairs]] column. Empty
+    * shingle arrays yield NULL (list_min([]) semantics). */
+  def minhashSignature(hashPairs: Column, k: Int): Seq[Column] =
     (0 until k).map { i =>
-      val h: Column => Column =
-        if (fast) s => xxhash64(lit(i), s)
-        else s => stableHash60(concat(lit(i + ":"), s))
-      // no array_distinct: min() is idempotent under duplicates (the DuckDB
-      // twin keeps list_distinct -- same value, so hashes still compare)
-      array_min(transform(shingleCol, h)).as(s"sig_$i")
+      array_min(
+        transform(
+          hashPairs,
+          p => pmod(p.getField("h1") + lit(i.toLong) * p.getField("h2"), lit(1152921504606846976L)) // 2^60
+        )
+      ).as(s"sig_$i")
+    }
+
+  /** Fast-path signatures: per-salt native xxhash64, one min-scan per salt.
+    * xxhash is cheap enough that the double-hashing pair materialization
+    * LOSES here (A/B at sf0.1: 0.30s naive vs 0.37s paired) -- the stable
+    * md5 path has the opposite trade, hence two formulations. */
+  def minhashSignatureFast(shingleCol: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s))).as(s"sig_$i")
     }
 
   /** MinHash LSH candidate pairs: signatures banded (bandSize rows/band);
@@ -101,11 +129,16 @@ object Dedup {
       fast: Boolean = true,
       maxBucket: Int = 1000
   ): DataFrame = {
-    val sigs = minhashSignature(shingleCol, k, fast)
     val nBands = k / bandSize
     // docs with no shingles have all-null signatures; they must not all
     // collide into one giant shared band bucket
-    val sigDf = df.filter(size(shingleCol) > 0).select(id.as("id") +: sigs: _*)
+    val nonEmpty = df.filter(size(shingleCol) > 0)
+    val sigDf =
+      if (fast) nonEmpty.select(id.as("id") +: minhashSignatureFast(shingleCol, k): _*)
+      else
+        nonEmpty
+          .select(id.as("id"), minhashHashPairs(shingleCol).as("__hp"))
+          .select(col("id") +: minhashSignature(col("__hp"), k): _*)
     def bandKey(b: Int): Column = {
       val parts = (b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i"))
       // fast: 32-bit murmur of the band; stable: a cross-engine string key
