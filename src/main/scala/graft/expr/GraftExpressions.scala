@@ -252,6 +252,42 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Native n-word shingle construction (see Kernels.shingles). */
+  case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.shingles(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.shingles($c, $n)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** All-k-salts MinHash in one codegen'd traversal (see
+    * Kernels.minhashMulti). Salt seeds precomputed once per expression
+    * instance and shipped as a codegen reference object. */
+  case class MinhashMulti(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    @transient private lazy val seeds: Array[Long] = Kernels.minhashSeeds(k)
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.minhashMulti(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seeds)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => {
+          val sref = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+          val tmp = ctx.freshName("mh")
+          s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $tmp = graft.expr.Kernels.minhashMulti($c, $sref);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+           """.stripMargin
+        }
+      )
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column API --------------------------------------------------------
 
   private def col(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
@@ -276,4 +312,6 @@ object GraftExpressions {
   def player_subject_id(c: Column): Column = col(PlayerSubjectIdExpr(ex(c)))
   def split_player_subject(c: Column): Column = col(SplitPlayerSubjectExpr(ex(c)))
   def steam_text_account(c: Column): Column = col(SteamTextAccount(ex(c)))
+  def minhash_multi(c: Column, k: Int): Column = col(MinhashMulti(ex(c), k))
+  def shingles_native(c: Column, n: Int): Column = col(ShinglesExpr(ex(c), n))
 }

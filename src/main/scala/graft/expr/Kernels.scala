@@ -145,4 +145,77 @@ object Kernels {
     val a2 = Steam.steam2Account(s)
     if (a2 >= 0) java.lang.Long.valueOf(a2) else null
   }
+
+  // ---- shingles ----------------------------------------------------------
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** n-word shingles joined by a single space, one native pass -- value-
+    * identical to transform(sequence(...), i -> concat_ws(' ', w[i..i+n-1]))
+    * including concat_ws's null-skipping, without the interpreted
+    * higher-order machinery (sequence + n element_ats + concat_ws per
+    * shingle). Empty array when fewer than n words. */
+  def shingles(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val win = new Array[UTF8String](n)
+    var j = 0
+    while (j <= m - n) {
+      var i = 0
+      while (i < n) { win(i) = words.getUTF8String(j + i); i += 1 }
+      out(j) = UTF8String.concatWs(SPACE, win: _*)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ---- minhash -----------------------------------------------------------
+
+  /** Per-salt seeds replicating `xxhash64(lit(i), s)`: the int literal is
+    * hashed first with the function's default seed 42, and that value seeds
+    * the string hash. */
+  def minhashSeeds(k: Int): Array[Long] = {
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      seeds(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)
+      i += 1
+    }
+    seeds
+  }
+
+  /** All k MinHash values in ONE traversal of the shingle array: for each
+    * element, k xxhash64 values (seeded per salt) folded into running mins.
+    * Value-identical to `array_min(transform(sh, s => xxhash64(lit(i), s)))`
+    * per salt, but a single codegen'd pass with zero intermediate arrays
+    * instead of k interpreted higher-order passes. Null on an empty array
+    * (array_min([]) semantics); a null element contributes the bare seed,
+    * exactly like xxhash64's null-skip. */
+  def minhashMulti(arr: ArrayData, seeds: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val k = seeds.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      var i = 0
+      if (s == null) {
+        while (i < k) { if (seeds(i) < mins(i)) mins(i) = seeds(i); i += 1 }
+      } else {
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        while (i < k) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(base, off, len, seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
 }

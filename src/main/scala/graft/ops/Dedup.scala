@@ -51,15 +51,12 @@ object Dedup {
     df.groupBy(md5(key.cast("string")).as("content_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word shingles (n consecutive words joined by a space). */
+  /** Word shingles (n consecutive words joined by a space). One codegen'd
+    * kernel pass (graft.expr.Kernels.shingles) -- value-identical to the
+    * sequence/element_at/concat_ws formulation, ~5x cheaper (the shingle
+    * build dominated every minhash/jaccard leg at sf0.1). */
   def shingles(words: Column, n: Int): Column =
-    when(size(words) < n, array())
-      .otherwise(
-        transform(
-          sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)
-        )
-      )
+    graft.expr.GraftExpressions.shingles_native(words, n)
 
   /** Per-shingle (h1, h2) base-hash pairs for double-hashing MinHash
     * (Kirsch-Mitzenmacher): the k signature functions derive affinely from
@@ -94,14 +91,17 @@ object Dedup {
       ).as(s"sig_$i")
     }
 
-  /** Fast-path signatures: per-salt native xxhash64, one min-scan per salt.
-    * xxhash is cheap enough that the double-hashing pair materialization
-    * LOSES here (A/B at sf0.1: 0.30s naive vs 0.37s paired) -- the stable
-    * md5 path has the opposite trade, hence two formulations. */
-  def minhashSignatureFast(shingleCol: Column, k: Int): Seq[Column] =
-    (0 until k).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s))).as(s"sig_$i")
-    }
+  /** Fast-path signatures: ONE codegen'd traversal computing all k per-salt
+    * xxhash64 mins (custom Catalyst expression, Kernels.minhashMulti) --
+    * value-identical to `array_min(transform(sh, s => xxhash64(lit(i), s)))`
+    * per salt, without k interpreted higher-order passes or intermediate
+    * arrays. Reference the columns from a frame that projected the array
+    * (two-step select, CollapseProject keeps it single-copy). */
+  def minhashMultiFast(shingleCol: Column, k: Int): Column =
+    graft.expr.GraftExpressions.minhash_multi(shingleCol, k)
+
+  def minhashSignatureFast(arr: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => element_at(arr, i + 1).as(s"sig_$i"))
 
   /** MinHash LSH candidate pairs: signatures banded (bandSize rows/band);
     * docs sharing any band bucket become candidates. Returns (id_a, id_b)
@@ -134,7 +134,10 @@ object Dedup {
     // collide into one giant shared band bucket
     val nonEmpty = df.filter(size(shingleCol) > 0)
     val sigDf =
-      if (fast) nonEmpty.select(id.as("id") +: minhashSignatureFast(shingleCol, k): _*)
+      if (fast)
+        nonEmpty
+          .select(id.as("id"), minhashMultiFast(shingleCol, k).as("__mh"))
+          .select(col("id") +: minhashSignatureFast(col("__mh"), k): _*)
       else
         nonEmpty
           .select(id.as("id"), minhashHashPairs(shingleCol).as("__hp"))

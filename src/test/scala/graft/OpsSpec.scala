@@ -180,6 +180,29 @@ class OpsSpec extends AnyFunSuite {
     for (r <- both) assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")
   }
 
+  test("minhash_multi kernel equals the per-salt xxhash64 formulation") {
+    val sh = Dedup.shingles(split(col("text"), " "), 3)
+    val naive = (0 until 8).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s))).as(s"ref_$i")
+    }
+    val both = docs
+      .select(col("doc_id") +: (Dedup.minhashMultiFast(sh, 8).as("mh") +: naive): _*)
+      .collect()
+    assert(both.nonEmpty)
+    for (r <- both) {
+      val mh = Option(r.getAs[scala.collection.Seq[Long]]("mh"))
+      (0 until 8).foreach { i =>
+        val ref = if (r.isNullAt(r.fieldIndex(s"ref_$i"))) None else Some(r.getLong(r.fieldIndex(s"ref_$i")))
+        assert(mh.map(_(i)) == ref, s"doc ${r.get(0)} salt $i")
+      }
+    }
+    // empty shingle array -> null, matching array_min([])
+    val empty = spark.sql("SELECT 'a b' AS text")
+      .select(Dedup.minhashMultiFast(Dedup.shingles(split(col("text"), " "), 3), 8).as("mh"))
+      .head()
+    assert(empty.isNullAt(0))
+  }
+
   test("multimodal stub codec: deterministic features, histogram sums to bytes") {
     val media = Multimodal.mediaFromDocuments(
       docs.select(col("doc_id"), col("text"))
