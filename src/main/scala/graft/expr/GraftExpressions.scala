@@ -252,6 +252,17 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** Native one-pass 60-bit SimHash (see Kernels.simhash60Fast). */
+  case class SimHash60Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.simhash60Fast(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.simhash60Fast($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** Native n-word shingle construction (see Kernels.shingles). */
   case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -314,4 +325,5 @@ object GraftExpressions {
   def steam_text_account(c: Column): Column = col(SteamTextAccount(ex(c)))
   def minhash_multi(c: Column, k: Int): Column = col(MinhashMulti(ex(c), k))
   def shingles_native(c: Column, n: Int): Column = col(ShinglesExpr(ex(c), n))
+  def simhash60_native(c: Column): Column = col(SimHash60Expr(ex(c)))
 }

@@ -185,6 +185,35 @@ object Kernels {
     seeds
   }
 
+  /** 60-bit SimHash over the word multiset in one native pass -- value-
+    * identical to the fold formulation over xxhash64(w) & (2^60-1) with
+    * per-bit +-1 votes (bit set where votes > 0); a null word hashes to the
+    * bare seed 42, exactly like xxhash64's null-skip. */
+  def simhash60Fast(words: ArrayData): Long = {
+    val n = words.numElements()
+    val votes = new Array[Int](60)
+    var j = 0
+    while (j < n) {
+      val w = words.getUTF8String(j)
+      val h =
+        if (w == null) 42L
+        else
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), 42L)
+      val hm = h & 0xfffffffffffffffL
+      var b = 0
+      while (b < 60) {
+        if (((hm >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
   /** All k MinHash values in ONE traversal of the shingle array: for each
     * element, k xxhash64 values (seeded per salt) folded into running mins.
     * Value-identical to `array_min(transform(sh, s => xxhash64(lit(i), s)))`

@@ -167,10 +167,11 @@ object Dedup {
     * not 60 times as with per-bit aggregates (~60x less expression work on
     * the hot path; identical output). */
   def simhash60(words: Column, fast: Boolean = true): Column = {
+    // fast path: one codegen'd kernel pass (differential spec pins equality
+    // with the fold formulation below)
+    if (fast) return graft.expr.GraftExpressions.simhash60_native(words)
     // bits masked/limited to 60 (sign-safe arithmetic below)
-    val hashes =
-      if (fast) transform(words, w => xxhash64(w).bitwiseAND(lit(0xfffffffffffffffL)))
-      else transform(words, w => stableHash60(w))
+    val hashes = transform(words, w => stableHash60(w))
     val pows = typedLit((0 until 60).map(b => 1L << b))
     val zeros = typedLit(Seq.fill(60)(0L))
     val votes = aggregate(
