@@ -252,6 +252,48 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** All-tables random-hyperplane buckets in one codegen'd pass (see
+    * Kernels.rhpBuckets); the flattened plane matrix ships as a codegen
+    * reference object. */
+  case class RhpBuckets(child: Expression, weights: Array[Long], tables: Int, bits: Int, dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.rhpBuckets(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], weights, tables, bits, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wref = ctx.addReferenceObj("rhpWeights", weights, "long[]")
+      defineCodeGen(ctx, ev, c => s"graft.expr.Kernels.rhpBuckets($c, $wref, $tables, $bits, $dim)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** floor(cosine * 10000) over two float vectors in one fused pass (see
+    * Kernels.cosineX10000). */
+  case class CosineX10000(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosineX10000(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        (a, b) => {
+          val tmp = ctx.freshName("cos")
+          s"""
+           |java.lang.Long $tmp = graft.expr.Kernels.cosineX10000($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+           """.stripMargin
+        }
+      )
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** Native one-pass 60-bit SimHash (see Kernels.simhash60Fast). */
   case class SimHash60Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -326,4 +368,7 @@ object GraftExpressions {
   def minhash_multi(c: Column, k: Int): Column = col(MinhashMulti(ex(c), k))
   def shingles_native(c: Column, n: Int): Column = col(ShinglesExpr(ex(c), n))
   def simhash60_native(c: Column): Column = col(SimHash60Expr(ex(c)))
+  def rhp_buckets(c: Column, weights: Array[Long], tables: Int, bits: Int, dim: Int): Column =
+    col(RhpBuckets(ex(c), weights, tables, bits, dim))
+  def cosine_x10000(a: Column, b: Column): Column = col(CosineX10000(ex(a), ex(b)))
 }

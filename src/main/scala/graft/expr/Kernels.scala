@@ -170,6 +170,54 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  // ---- embeddings --------------------------------------------------------
+
+  /** All `tables` random-hyperplane buckets of a quantized (long) vector in
+    * one pass. `weights` is the flattened [table][bit][dim] plane matrix;
+    * integer arithmetic identical to the per-bit zip_with/aggregate
+    * formulation (and the DuckDB twin). */
+  def rhpBuckets(qvec: ArrayData, weights: Array[Long], tables: Int, bits: Int, dim: Int): ArrayData = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var acc = 0L
+        var i = 0
+        while (i < dim) { acc += qvec.getLong(i) * weights(base + i); i += 1 }
+        if (acc >= 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** floor(cosine(a, b) * 10000) over float vectors, accumulating in doubles
+    * in index order -- bit-identical to the
+    * aggregate(zip_with(...)) / sqrt / floor expression chain. Null on
+    * length mismatch or null elements (the expression chain's null
+    * propagation). */
+  def cosineX10000(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (java.lang.Double.isNaN(c)) return null
+    java.lang.Long.valueOf(math.floor(c * 10000d).toLong)
+  }
+
   // ---- minhash -----------------------------------------------------------
 
   /** Per-salt seeds replicating `xxhash64(lit(i), s)`: the int literal is

@@ -24,6 +24,11 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** floor(cosine*10000) as ONE fused codegen'd kernel pass (bit-identical
+    * double arithmetic to the expression chain; differential spec pins it). */
+  def cosineX10000(a: Column, b: Column): Column =
+    graft.expr.GraftExpressions.cosine_x10000(a, b)
+
   /** Exact brute-force top-k neighbors for each query row.
     * Broadcast the (small) query side; rank with a deterministic tie-break
     * on the x1e4-floored similarity so results are stable across engines. */
@@ -38,7 +43,7 @@ object Similarity {
       .select(
         col("qid"),
         col("cid"),
-        floor(cosine(col("qv"), col("cv")) * 10000).as("sim_x10000")
+        cosineX10000(col("qv"), col("cv")).as("sim_x10000")
       )
     val w = Window.partitionBy("qid").orderBy(col("sim_x10000").desc, col("cid").asc)
     scored
@@ -95,11 +100,18 @@ object Similarity {
       maxBucket: Int = 1000
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // flattened [table][bit][dim] plane matrix, shipped once as a codegen
+    // reference; the kernel computes all tables' buckets in one pass with
+    // the same integer arithmetic as rhpBucketQ / the DuckDB twin
+    val weights = Array.tabulate(tables * bits * dim) { idx =>
+      val t = idx / (bits * dim); val b = idx / dim % bits; val i = idx % dim
+      planeWeight(t, b, i)
+    }
     val buckets = df
       .withColumn("qv", quantize1000(col("vec")))
       .select(
         col("id"),
-        posexplode(array((0 until tables).map(t => rhpBucketQ(col("qv"), dim, bits, t)): _*))
+        posexplode(graft.expr.GraftExpressions.rhp_buckets(col("qv"), weights, tables, bits, dim))
           .as(Seq("t", "bucket"))
       )
     // one hash-aggregate pass groups each (table, bucket) into a capped
@@ -114,7 +126,7 @@ object Similarity {
     val scored = cands
       .join(df.select(col("id").as("qid"), col("vec").as("qv")), Seq("qid"))
       .join(df.select(col("id").as("cid"), col("vec").as("cv")), Seq("cid"))
-      .select(col("qid"), col("cid"), floor(cosine(col("qv"), col("cv")) * 10000).as("sim_x10000"))
+      .select(col("qid"), col("cid"), cosineX10000(col("qv"), col("cv")).as("sim_x10000"))
     val w = Window.partitionBy("qid").orderBy(col("sim_x10000").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -203,6 +203,40 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.isNullAt(0))
   }
 
+  test("cosine and hyperplane-bucket kernels equal the expression formulations") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .limit(50)
+    // cosine kernel vs the aggregate/zip_with chain on 50x50 pairs
+    val pairs = e.select(col("id").as("qid"), col("vec").as("qv"))
+      .crossJoin(e.select(col("id").as("cid"), col("vec").as("cv")))
+      .filter(col("qid") =!= col("cid"))
+      .select(
+        col("qid"), col("cid"),
+        Similarity.cosineX10000(col("qv"), col("cv")).as("kern"),
+        floor(Similarity.cosine(col("qv"), col("cv")) * 10000).as("expr")
+      )
+      .collect()
+    assert(pairs.nonEmpty)
+    for (r <- pairs) assert(r.getLong(2) == r.getLong(3), s"${r.get(0)} x ${r.get(1)}")
+
+    // bucket kernel vs per-bit integer projection
+    val dim = 64; val bits = 7; val tables = 4
+    val weights = Array.tabulate(tables * bits * dim) { idx =>
+      val t = idx / (bits * dim); val b = idx / dim % bits; val i = idx % dim
+      Similarity.planeWeight(t, b, i)
+    }
+    val q = e.select(col("id"), Similarity.quantize1000(col("vec")).as("qv"))
+    val both = q.select(
+      col("id"),
+      graft.expr.GraftExpressions.rhp_buckets(col("qv"), weights, tables, bits, dim).as("kern"),
+      array((0 until tables).map(t => Similarity.rhpBucketQ(col("qv"), dim, bits, t)): _*).as("expr")
+    ).collect()
+    for (r <- both)
+      assert(r.getAs[scala.collection.Seq[Long]]("kern") == r.getAs[scala.collection.Seq[Long]]("expr"),
+        s"id ${r.get(0)}")
+  }
+
   test("multimodal stub codec: deterministic features, histogram sums to bytes") {
     val media = Multimodal.mediaFromDocuments(
       docs.select(col("doc_id"), col("text"))
