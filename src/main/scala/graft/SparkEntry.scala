@@ -226,6 +226,35 @@ object SparkEntry {
         .emit(docs, routed, TfPipeline.subjectDim(routed))
         .select(col("doc_id"), col("json"))
     }),
+    "tf_medic_stream" -> ((s, d) => {
+      // §2.8 streaming surface through the driver gate: the
+      // flatMapGroupsWithState per-doc sequential machine over a STREAMED
+      // copy of the tokenized table, compared against the sim's medic
+      // fields for the player subjects with >=1 surviving medic-typed line
+      val streaming = graft.streaming.StreamingPipeline
+      val dir = java.nio.file.Files.createTempDirectory("graft-medic-stream").toString
+      tfInput(s, d).write.mode("overwrite").parquet(dir)
+      val qname = s"medics_stream_v${System.identityHashCode(s)}"
+      val q = streaming
+        .memorySink(streaming.medicStatsStream(s, streaming.sequencedStream(s, dir)), qname, complete = false)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      streaming
+        .latestMedicRows(s.table(qname))
+        .filter(!col("aborted") && shiftrightunsigned(col("sid"), 32) === 1)
+        .select(
+          col("doc_id"), col("sid"),
+          col("advantages_lost"),
+          fcanon(col("biggest_advantage_lost")).as("biggest_advantage_lost"),
+          col("near_full_charge_death"), col("deaths_after_uber"),
+          fcanon(col("avg_time_before_healing")).as("avg_time_before_healing"),
+          fcanon(col("avg_time_to_build")).as("avg_time_to_build"),
+          fcanon(col("avg_time_to_use")).as("avg_time_to_use"),
+          fcanon(col("avg_uber_length")).as("avg_uber_length"),
+          col("charge_count"), col("drops")
+        )
+    }),
     "tf_composed" -> ((s, d) => {
       // §2.9 surface: custom HighestDamage module composed over the routed
       // frame (examples/custom_handler.rs:29-56 shape)
@@ -467,6 +496,7 @@ object SparkEntry {
     s"SELECT * FROM read_parquet('__EXP__/$name/*.parquet')"
 
   def oracleSql: Map[String, String] = Map(
+    "tf_medic_stream" -> expOracle("tf_medic_stream"),
     "tf_per_player" -> expOracle("tf_per_player"),
     "tf_chat" -> expOracle("tf_chat"),
     "tf_route_counts" -> expOracle("tf_route_counts"),

@@ -40,6 +40,7 @@ object Verify {
     val players = Vector.newBuilder[Row]
     val jsons = Vector.newBuilder[Row]
     val composed = Vector.newBuilder[Row]
+    val medicStream = Vector.newBuilder[Row]
 
     for (docId <- 0L until nDocs.toLong) {
       val docKey = f"log-$docId%06d"
@@ -67,6 +68,20 @@ object Verify {
           val (d, l) = hd.getOrElse(s.sid, (-1L, -1L))
           composed += Row(docKey, graft.expr.Steam.steam3(acct),
             graft.expr.Steam.steam64(acct), s.name, d, l)
+        }
+      }
+
+      // streaming medic module universe: PLAYER subjects with >=1 surviving
+      // medic-typed line (the query filters to the same universe)
+      val medicActive = SimExpectations.medicActiveSids(lines)
+      sim.perPlayer.foreach { p =>
+        val sid = (graft.expr.Steam.K_PLAYER << 32) | p.account
+        if (medicActive.contains(sid)) {
+          val m = p.medicEngine
+          medicStream += Row(docKey, sid,
+            m.advantagesLost, canonF(m.biggestAdvantageLost), m.nearFullChargeDeath,
+            m.deathsAfterUber, canonF(m.avgTimeBeforeHealing), canonF(m.avgTimeToBuild),
+            canonF(m.avgTimeToUse), canonF(m.avgUberLength), m.chargeCount, m.drops)
         }
       }
 
@@ -112,6 +127,24 @@ object Verify {
     save(
       spark.createDataFrame(spark.sparkContext.parallelize(composed.result(), 1), composedSchema),
       "tf_composed"
+    )
+
+    val medicStreamSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("sid", LongType),
+      StructField("advantages_lost", LongType),
+      StructField("biggest_advantage_lost", FloatType),
+      StructField("near_full_charge_death", LongType),
+      StructField("deaths_after_uber", LongType),
+      StructField("avg_time_before_healing", FloatType),
+      StructField("avg_time_to_build", FloatType),
+      StructField("avg_time_to_use", FloatType),
+      StructField("avg_uber_length", FloatType),
+      StructField("charge_count", LongType),
+      StructField("drops", LongType)
+    ))
+    save(
+      spark.createDataFrame(spark.sparkContext.parallelize(medicStream.result(), 1), medicStreamSchema),
+      "tf_medic_stream"
     )
 
     val dimSchema = StructType(Seq(

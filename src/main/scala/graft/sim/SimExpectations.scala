@@ -109,6 +109,14 @@ object SimExpectations {
     }
   }
 
+  /** Subjects with at least one SURVIVING medic-typed line (the universe the
+    * streaming medic module emits), from the sequential classification. */
+  def medicActiveSids(lines: IndexedSeq[String]): Set[Long] =
+    classify(lines).iterator
+      .filter(lc => graft.pipeline.TfPipeline.MedicTypes.contains(lc.route))
+      .map(lc => graft.expr.Steam.subjectId(lc.raw.kind, lc.raw.subject))
+      .toSet
+
   /** tf_route_counts accumulator: route -> n. */
   def routeCounts(lines: IndexedSeq[String], acc: mutable.Map[String, Long]): Unit =
     classify(lines).foreach(c => acc(c.route) = acc.getOrElse(c.route, 0L) + 1L)

@@ -159,7 +159,10 @@ object StreamingPipeline {
       avg_time_to_use: Float,
       avg_uber_length: Float,
       charge_count: Long,
-      drops: Long
+      drops: Long,
+      // lines-consumed watermark: monotone per key, so consumers can pick
+      // the latest emission order-independently (max_by(_, up_to))
+      up_to: Long
   )
 
   /** Classified streaming lines: the batch pointwise classifier over the
@@ -204,6 +207,15 @@ object StreamingPipeline {
 
   private def u32(v: Long): Long = v & 0xffffffffL
 
+  /** Latest emission per (doc, sid) from an accumulating (Update-mode) sink
+    * table, picked order-independently via the monotone `up_to` watermark. */
+  def latestMedicRows(df: DataFrame): DataFrame = {
+    val payload = df.columns.filter(c => c != "doc_id" && c != "sid").map(col)
+    df.groupBy(col("doc_id"), col("sid"))
+      .agg(max_by(struct(payload: _*), col("up_to")).as("r"))
+      .select(col("doc_id"), col("sid"), col("r.*"))
+  }
+
   /** Streaming medic stats keyed by doc: flatMapGroupsWithState runs the
     * reference's SEQUENTIAL per-doc machine -- error-consumption chains,
     * doc-level abort, doc-relative event time -- over micro-batches (events
@@ -225,9 +237,9 @@ object StreamingPipeline {
             f32div(a.totalBuild.toFloat, a.buildCount.toFloat),
             f32div(0f, a.chargeCount.toFloat),
             f32div(a.totalUber.toFloat, a.chargeCount.toFloat),
-            a.chargeCount, a.drops)
+            a.chargeCount, a.drops, st.nextLine)
         else
-          MedicRow(doc, sid, aborted = false, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L)
+          MedicRow(doc, sid, aborted = false, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L, st.nextLine)
       }
 
     seq
@@ -311,7 +323,8 @@ object StreamingPipeline {
           }
           state.update(st)
           if (st.aborted)
-            Iterator.single(MedicRow(doc, -1L, aborted = true, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L))
+            Iterator.single(
+              MedicRow(doc, -1L, aborted = true, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L, st.nextLine))
           else emitRows(doc, st)
         }
       }

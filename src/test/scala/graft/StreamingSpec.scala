@@ -69,23 +69,8 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      val got = spark
-        .sql("select * from medics_stream")
-        // latest emission per key (single-batch here, but be order-robust)
-        .groupBy("doc_id", "sid")
-        .agg(
-          last(col("aborted")).as("aborted"),
-          last(col("advantages_lost")).as("advantages_lost"),
-          last(col("biggest_advantage_lost")).as("biggest_advantage_lost"),
-          last(col("near_full_charge_death")).as("near_full_charge_death"),
-          last(col("deaths_after_uber")).as("deaths_after_uber"),
-          last(col("avg_time_before_healing")).as("avg_time_before_healing"),
-          last(col("avg_time_to_build")).as("avg_time_to_build"),
-          last(col("avg_time_to_use")).as("avg_time_to_use"),
-          last(col("avg_uber_length")).as("avg_uber_length"),
-          last(col("charge_count")).as("charge_count"),
-          last(col("drops")).as("drops")
-        )
+      // latest emission per key via the monotone up_to watermark
+      val got = StreamingPipeline.latestMedicRows(spark.sql("select * from medics_stream"))
 
       val tombstoned = got.filter(col("aborted")).select("doc_id").collect().map(_.getString(0)).toSet
       val streamed = got
