@@ -168,9 +168,10 @@ object StreamingPipeline {
   /** Classified streaming lines: the batch pointwise classifier over the
     * streaming envelope (stateless -> identical semantics), flattened to the
     * medic-typed primitives. */
-  def sequencedStream(spark: SparkSession, dir: String): DataFrame = {
-    val env = spark.readStream
-      .schema(inputSchema)
+  def sequencedStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(inputSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val env = reader
       .parquet(dir)
       .withColumn("line", tokens_to_string(col("tokens")))
       .withColumn("r", parse_raw_line(col("line")))

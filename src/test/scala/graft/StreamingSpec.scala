@@ -57,6 +57,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming medic module: multi-batch delivery (docs split across files) equals batch") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-stream-mb").toString
+    val input = LogGen.generate(spark, 4, 400, 43L).toDF()
+    // three sequential segment files, each doc SPLIT across them in line
+    // order -- the streaming contract for sequence logs (file order = line
+    // order); one file per micro-batch forces cross-batch state resume
+    val segs = Seq((0L, 130L), (130L, 260L), (260L, Long.MaxValue))
+    segs.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val dir = s"$base/seg$i"
+      input.filter(col("line_no") >= lo && col("line_no") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+      // stable arrival order for the file source
+      f.setLastModified(1000000L + i * 60000L)
+      Files.move(f.toPath, java.nio.file.Paths.get(s"$base/part-$i.parquet"))
+    }
+    val seq = StreamingPipeline.sequencedStream(spark, s"$base/part-*.parquet", maxFilesPerTrigger = Some(1))
+    val q = StreamingPipeline
+      .memorySink(StreamingPipeline.medicStatsStream(spark, seq), "medics_mb", complete = false)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the differential only proves cross-batch state if delivery was
+      // actually split into one batch per segment file
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 non-empty micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+      val got = StreamingPipeline.latestMedicRows(spark.sql("select * from medics_mb"))
+        .filter(!col("aborted"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(11), r.getLong(12)))
+        .toMap
+      val (_, routed) = TfPipeline.routedWithUniverse(TfPipeline.envelope(input))
+      val batch = TfPipeline.medicStats(routed)
+        .select(col("doc_id"), col("sid"), col("medic.advantages_lost"),
+          col("medic.charge_count"), col("medic.drops"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(batch.nonEmpty)
+      assert(got == batch, s"multi-batch streaming diverged: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming medic module (flatMapGroupsWithState) equals batch medicStats exactly") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-stream3").toString
