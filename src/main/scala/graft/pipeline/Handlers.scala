@@ -45,7 +45,14 @@ object Handlers {
     * subject appears once, joined with each selected module's output (J5).
     * The routed frame is scanned once per module -- at scale each module
     * reads only its pruned route partitions (see TfPipeline.routedFromStore),
-    * exactly like `does_handle` masks. */
+    * exactly like `does_handle` masks.
+    *
+    * NOTE: this generic composition left-joins each module's arbitrary
+    * schema; the BUILT-IN assembly (TfPipeline.perPlayerAssembled) instead
+    * merges the fixed module set with a null-padded union + one
+    * first(ignoreNulls) aggregate -- measurably cheaper (left-outer SMJ of
+    * even tiny sides costs ~3s each at 4M rows) and the pattern to follow
+    * when a custom composition grows past a couple of modules. */
   def composePerPlayer(
       routed: DataFrame,
       dim: DataFrame,
