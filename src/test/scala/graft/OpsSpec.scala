@@ -237,6 +237,46 @@ class OpsSpec extends AnyFunSuite {
         s"id ${r.get(0)}")
   }
 
+  test("kernel fuzz: shingles/minhash/simhash equal expression formulations on edge corpora") {
+    // deterministic edge corpus: empty docs, 1-2 words, unicode, empty-string
+    // words, long repeats -- beyond what documents.parquet exercises
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Vector("a", "", "word", "éé", "漢字", "x" * 40, "b c", "\"q\"", "7")
+    val docs2 = (0 until 200).map { i =>
+      val n = rnd.nextInt(8) // 0..7 words
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    import spark.implicits._
+    val df = docs2.toDF("id", "text")
+    val w = split(col("text"), " ")
+    // old expression formulations, inline
+    def shinglesExprOld(words: org.apache.spark.sql.Column, n: Int) =
+      when(size(words) < n, array())
+        .otherwise(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+    val sh = graft.ops.Dedup.shingles(w, 3)
+    val shOld = shinglesExprOld(w, 3)
+    val naiveMh = (0 until 8).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s))).as(s"ref_$i")
+    }
+    val rows = df.select(
+      Seq(col("id"), sh.as("sh"), shOld.as("sh_old"),
+        graft.ops.Dedup.minhashMultiFast(sh, 8).as("mh"),
+        graft.ops.Dedup.simhash60(w).as("sim"),
+        graft.ops.Dedup.simhash60(w, fast = false).as("sim_md5")) ++ naiveMh: _*
+    ).collect()
+    for (r <- rows) {
+      assert(r.getAs[scala.collection.Seq[String]]("sh") == r.getAs[scala.collection.Seq[String]]("sh_old"),
+        s"shingles diverge at id ${r.get(0)}")
+      val mh = Option(r.getAs[scala.collection.Seq[Long]]("mh"))
+      (0 until 8).foreach { i =>
+        val ref = if (r.isNullAt(r.fieldIndex(s"ref_$i"))) None else Some(r.getLong(r.fieldIndex(s"ref_$i")))
+        assert(mh.map(_(i)) == ref, s"minhash diverges at id ${r.get(0)} salt $i")
+      }
+      assert(!r.isNullAt(r.fieldIndex("sim")), s"simhash null at id ${r.get(0)}")
+    }
+  }
+
   test("multimodal stub codec: deterministic features, histogram sums to bytes") {
     val media = Multimodal.mediaFromDocuments(
       docs.select(col("doc_id"), col("text"))
