@@ -255,6 +255,22 @@ object SparkEntry {
           col("charge_count"), col("drops")
         )
     }),
+    "tf_chat_stream" -> ((s, d) => {
+      // streaming chat module against the SAME expectation table as the
+      // batch tf_chat query: messages are emitted exactly once with
+      // first-seen identity, so no latest-row dedup is needed
+      val streaming = graft.streaming.StreamingPipeline
+      val dir = java.nio.file.Files.createTempDirectory("graft-chat-stream").toString
+      tfInput(s, d).write.mode("overwrite").parquet(dir)
+      val qname = s"chat_stream_v${System.identityHashCode(s)}"
+      val q = streaming
+        .memorySink(streaming.chatStream(s, streaming.sequencedStream(s, dir)), qname, complete = false)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(qname)
+        .select("doc_id", "line_no", "time", "name", "steam_id", "message", "chat_type")
+    }),
     "tf_composed" -> ((s, d) => {
       // §2.9 surface: custom HighestDamage module composed over the routed
       // frame (examples/custom_handler.rs:29-56 shape)
@@ -497,6 +513,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "tf_medic_stream" -> expOracle("tf_medic_stream"),
+    "tf_chat_stream" -> expOracle("tf_chat"),
     "tf_per_player" -> expOracle("tf_per_player"),
     "tf_chat" -> expOracle("tf_chat"),
     "tf_route_counts" -> expOracle("tf_route_counts"),

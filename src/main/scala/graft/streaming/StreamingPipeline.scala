@@ -112,7 +112,9 @@ object StreamingPipeline {
       event_type: String,
       charge: Long,
       duration: Float,
-      f_time: Float
+      f_time: Float,
+      subject: String,
+      text: String
   )
 
   /** Mutable-free per-medic accumulator mirroring TfPipeline.medicStats'
@@ -135,14 +137,52 @@ object StreamingPipeline {
       uberEnd: Long = 0L
   )
 
-  /** Per-doc state: the sequential recovery machine (lib.rs:58-104) plus the
-    * per-medic accumulators. `pendingConsumeTs` is Some(errTs) when the NEXT
-    * line is consumed by a just-evaluated error. */
-  final case class DocState(
+  /** The sequential recovery machine's control state (lib.rs:58-104),
+    * shared by every streaming module. `pendingConsumeTs` is Some(errTs)
+    * when the NEXT line is consumed by a just-evaluated error; `nextLine`
+    * is the cross-batch resume guard. */
+  final case class SeqCtl(
       startTs: Option[Long] = None,
       pendingConsumeTs: Option[Long] = None,
       aborted: Boolean = false,
-      nextLine: Long = 0L, // resume guard: lines below this were processed
+      nextLine: Long = 0L
+  )
+
+  /** Advance the recovery machine by one line. Returns the new control
+    * state and Some(docRelativeTime) exactly when the line is a surviving
+    * handled line the module should process. */
+  private def advance(c: SeqCtl, l: SeqLine): (SeqCtl, Option[Long]) = {
+    val st = c.copy(nextLine = l.line_no + 1)
+    st.pendingConsumeTs match {
+      case Some(errTs) =>
+        // consumed line: its own content is never evaluated; both lines
+        // drop iff it parses OK with a >60s forward jump
+        if (!(l.status == 0 && l.tsOpt.getOrElse(0L) - errTs > 60))
+          (st.copy(aborted = true, pendingConsumeTs = None), None)
+        else (st.copy(pendingConsumeTs = None), None)
+      case None =>
+        if (l.status == 2) (st.copy(aborted = true), None) // Malformed envelope
+        else if (l.status == 0 && l.handled) {
+          if (l.typed_err) {
+            // consume the next physical line (stream end first = reference
+            // break -- same as never seeing it); rescue_a drops silently
+            if (!l.rescue_a) (st.copy(pendingConsumeTs = Some(l.tsOpt.getOrElse(0L))), None)
+            else (st, None)
+          } else if (l.tsOpt.isEmpty) (st.copy(aborted = true), None) // date panic
+          else {
+            val ts = l.tsOpt.get
+            st.startTs match {
+              case Some(s) => (st, Some(u32(ts - s)))
+              case None    => (st.copy(startTs = Some(ts)), Some(0L))
+            }
+          }
+        } else (st, None) // non-OK / unhandled: skipped, like does_handle
+    }
+  }
+
+  /** Per-doc medic state: recovery control plus per-medic accumulators. */
+  final case class DocState(
+      ctl: SeqCtl = SeqCtl(),
       medics: Map[Long, MedicAcc] = Map.empty
   )
 
@@ -197,7 +237,8 @@ object StreamingPipeline {
         col("doc_id"), col("line_no"), col("status"), col("handled"),
         col("typed_err"), col("rescue_a"), col("ts").as("tsOpt"), col("sid"),
         coalesce(col("event_type"), lit("")).as("event_type"),
-        col("charge"), col("duration"), col("f_time")
+        col("charge"), col("duration"), col("f_time"),
+        col("subject"), element_at(col("pm"), "_text").as("text")
       )
   }
 
@@ -238,9 +279,9 @@ object StreamingPipeline {
             f32div(a.totalBuild.toFloat, a.buildCount.toFloat),
             f32div(0f, a.chargeCount.toFloat),
             f32div(a.totalUber.toFloat, a.chargeCount.toFloat),
-            a.chargeCount, a.drops, st.nextLine)
+            a.chargeCount, a.drops, st.ctl.nextLine)
         else
-          MedicRow(doc, sid, aborted = false, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L, st.nextLine)
+          MedicRow(doc, sid, aborted = false, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L, st.ctl.nextLine)
       }
 
     seq
@@ -251,83 +292,142 @@ object StreamingPipeline {
         GroupStateTimeout.NoTimeout
       ) { case (doc, lines, state) =>
         var st = state.getOption.getOrElse(DocState())
-        if (st.aborted) Iterator.empty
+        if (st.ctl.aborted) Iterator.empty
         else {
-          val ordered = lines.toArray.sortBy(_.line_no).filter(_.line_no >= st.nextLine)
+          val ordered = lines.toArray.sortBy(_.line_no).filter(_.line_no >= st.ctl.nextLine)
           var i = 0
-          while (i < ordered.length && !st.aborted) {
+          while (i < ordered.length && !st.ctl.aborted) {
             val l = ordered(i)
             i += 1
-            st = st.copy(nextLine = l.line_no + 1)
-            st.pendingConsumeTs match {
-              case Some(errTs) =>
-                // consumed line: its own content is never evaluated; both
-                // lines drop iff it parses OK with a >60s forward jump
-                if (!(l.status == 0 && l.tsOpt.getOrElse(0L) - errTs > 60))
-                  st = st.copy(aborted = true, pendingConsumeTs = None)
-                else st = st.copy(pendingConsumeTs = None)
-              case None =>
-                if (l.status == 2) st = st.copy(aborted = true) // Malformed envelope
-                else if (l.status == 0 && l.handled) {
-                  if (l.typed_err) {
-                    if (!l.rescue_a)
-                      // consume the next physical line (if the stream ends
-                      // first, the reference breaks -- same as never seeing it)
-                      st = st.copy(pendingConsumeTs = Some(l.tsOpt.getOrElse(0L)))
-                  } else if (l.tsOpt.isEmpty) st = st.copy(aborted = true) // date panic
-                  else {
-                    val ts = l.tsOpt.get
-                    val time = st.startTs match {
-                      case Some(s) => u32(ts - s)
-                      case None    => st = st.copy(startTs = Some(ts)); 0L
-                    }
-                    if (TfPipeline.MedicTypes.contains(l.event_type)) {
-                      val a = st.medics.getOrElse(l.sid, MedicAcc())
-                      val b = l.event_type match {
-                        case "first_heal" =>
-                          a.copy(
-                            totalBeforeHeal = a.totalBeforeHeal + l.f_time,
-                            healCount = a.healCount + 1,
-                            lastFhTime = time,
-                            fhSinceLastCr = true
-                          )
-                        case "charge_ready" =>
-                          val consume = a.fhSinceLastCr && a.lastFhTime > 0
-                          a.copy(
-                            totalBuild = a.totalBuild + (if (consume) math.max(time - a.lastFhTime, 0L) else 0L),
-                            buildCount = a.buildCount + (if (consume) 1 else 0),
-                            fhSinceLastCr = false
-                          )
-                        case "charge_ended" =>
-                          a.copy(uberEnd = time, totalUber = a.totalUber + l.duration)
-                        case "charge_deployed" => a.copy(chargeCount = a.chargeCount + 1)
-                        case "advantage_lost" =>
-                          a.copy(
-                            advantagesLost = a.advantagesLost + 1,
-                            biggestAdv = if (l.f_time > a.biggestAdv) l.f_time else a.biggestAdv
-                          )
-                        case "medic_death" =>
-                          a.copy(
-                            nearFull = a.nearFull + (if (l.charge >= 95 && l.charge < 100) 1 else 0),
-                            deathsAfterUber =
-                              a.deathsAfterUber + (if (math.max(time - a.uberEnd, 0L) <= 10) 1 else 0),
-                            drops = a.drops + (if (l.charge >= 100) 1 else 0)
-                          )
-                        case _ => a
-                      }
-                      st = st.copy(medics = st.medics.updated(l.sid, b))
-                    }
-                  }
+            val (ctl2, timeOpt) = advance(st.ctl, l)
+            st = st.copy(ctl = ctl2)
+            timeOpt.foreach { time =>
+              if (TfPipeline.MedicTypes.contains(l.event_type)) {
+                val a = st.medics.getOrElse(l.sid, MedicAcc())
+                val b = l.event_type match {
+                  case "first_heal" =>
+                    a.copy(
+                      totalBeforeHeal = a.totalBeforeHeal + l.f_time,
+                      healCount = a.healCount + 1,
+                      lastFhTime = time,
+                      fhSinceLastCr = true
+                    )
+                  case "charge_ready" =>
+                    val consume = a.fhSinceLastCr && a.lastFhTime > 0
+                    a.copy(
+                      totalBuild = a.totalBuild + (if (consume) math.max(time - a.lastFhTime, 0L) else 0L),
+                      buildCount = a.buildCount + (if (consume) 1 else 0),
+                      fhSinceLastCr = false
+                    )
+                  case "charge_ended" =>
+                    a.copy(uberEnd = time, totalUber = a.totalUber + l.duration)
+                  case "charge_deployed" => a.copy(chargeCount = a.chargeCount + 1)
+                  case "advantage_lost" =>
+                    a.copy(
+                      advantagesLost = a.advantagesLost + 1,
+                      biggestAdv = if (l.f_time > a.biggestAdv) l.f_time else a.biggestAdv
+                    )
+                  case "medic_death" =>
+                    a.copy(
+                      nearFull = a.nearFull + (if (l.charge >= 95 && l.charge < 100) 1 else 0),
+                      deathsAfterUber =
+                        a.deathsAfterUber + (if (math.max(time - a.uberEnd, 0L) <= 10) 1 else 0),
+                      drops = a.drops + (if (l.charge >= 100) 1 else 0)
+                    )
+                  case _ => a
                 }
-              // non-OK short/unhandled lines: skipped, like does_handle
+                st = st.copy(medics = st.medics.updated(l.sid, b))
+              }
             }
           }
           state.update(st)
-          if (st.aborted)
+          if (st.ctl.aborted)
             Iterator.single(
-              MedicRow(doc, -1L, aborted = true, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L, st.nextLine))
+              MedicRow(doc, -1L, aborted = true, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L, st.ctl.nextLine))
           else emitRows(doc, st)
         }
+      }
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming chat module (player-only ordered messages, J2 identity)
+  // ---------------------------------------------------------------------
+
+  final case class SubjEntry(dataKind: Int, name: String, steam64: Long)
+  final case class ChatDocState(ctl: SeqCtl = SeqCtl(), subjects: Map[Long, SubjEntry] = Map.empty)
+  final case class ChatMsg(
+      doc_id: String,
+      line_no: Long,
+      time: Long,
+      name: String,
+      steam_id: Long,
+      message: String,
+      chat_type: String
+  )
+
+  /** Streaming chat: say/say_team messages resolved against the FIRST-SEEN
+    * subject identity (SubjectData semantics, common.rs:308-342), player
+    * subjects only (F2), emitted in processing order with doc-relative time.
+    * Each message is emitted exactly once (the resume guard makes re-emission
+    * impossible); a doc that aborts mid-batch emits nothing for that batch
+    * and nothing after -- messages emitted in EARLIER batches stand (the
+    * Update-mode sink cannot retract; batch consumers drop aborted docs via
+    * the medic tombstones or the batch universe). */
+  def chatStream(spark: SparkSession, seq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    seq
+      .as[SeqLine]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[ChatDocState, ChatMsg](
+        OutputMode.Update,
+        GroupStateTimeout.NoTimeout
+      ) { case (doc, lines, state) =>
+        var st = state.getOption.getOrElse(ChatDocState())
+        val out = scala.collection.mutable.ArrayBuffer.empty[ChatMsg]
+        if (!st.ctl.aborted) {
+          val ordered = lines.toArray.sortBy(_.line_no).filter(_.line_no >= st.ctl.nextLine)
+          var i = 0
+          while (i < ordered.length && !st.ctl.aborted) {
+            val l = ordered(i)
+            i += 1
+            val (ctl2, timeOpt) = advance(st.ctl, l)
+            st = st.copy(ctl = ctl2)
+            timeOpt.foreach { time =>
+              // first-seen-wins intern, mirroring TfPipeline.subjectDim
+              if (!st.subjects.contains(l.sid)) {
+                val k = graft.expr.Steam.packedKind(l.sid)
+                val e =
+                  if (k == 1 || k == 2) {
+                    val parts = graft.expr.Steam.splitPlayerSubject(l.subject)
+                    if (parts == null) SubjEntry(3, l.subject, -1L)
+                    else {
+                      val uidOk = parts(1).nonEmpty && parts(1).length <= 18 &&
+                        parts(1).forall(_.isDigit) && java.lang.Long.parseLong(parts(1)) <= 65535L
+                      val acct = graft.expr.Kernels.steamTextAccount(
+                        org.apache.spark.unsafe.types.UTF8String.fromString(parts(2)))
+                      if (acct != null && uidOk)
+                        SubjEntry(1, parts(0), graft.expr.Steam.steam64(acct.longValue()))
+                      else if (uidOk) SubjEntry(2, parts(0), -1L)
+                      else SubjEntry(3, l.subject, -1L)
+                    }
+                  } else SubjEntry(k, l.subject, -1L)
+                st = st.copy(subjects = st.subjects.updated(l.sid, e))
+              }
+              if ((l.event_type == "say" || l.event_type == "say_team") &&
+                graft.expr.Steam.packedKind(l.sid) == 1) {
+                val e = st.subjects(l.sid)
+                if (e.dataKind == 1)
+                  out += ChatMsg(doc, l.line_no, time, e.name, e.steam64,
+                    Option(l.text).getOrElse(""),
+                    if (l.event_type == "say") "All" else "Team")
+              }
+            }
+          }
+          state.update(st)
+        }
+        if (st.ctl.aborted) Iterator.empty else out.iterator
       }
       .toDF()
   }

@@ -98,6 +98,31 @@ class StreamingSpec extends AnyFunSuite {
         .toMap
       assert(batch.nonEmpty)
       assert(got == batch, s"multi-batch streaming diverged: $got vs $batch")
+
+      // chat module over the SAME multi-batch delivery: exact message-level
+      // equality with the batch windows+join formulation
+      val seq2 = StreamingPipeline.sequencedStream(spark, s"$base/part-*.parquet", maxFilesPerTrigger = Some(1))
+      val qc = StreamingPipeline
+        .memorySink(StreamingPipeline.chatStream(spark, seq2), "chat_mb", complete = false)
+        .start()
+      try {
+        qc.processAllAvailable()
+        val gotChat = spark.sql("select * from chat_mb").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+            r.getLong(4), r.getString(5), r.getString(6)))
+          .toSet
+        val dim = TfPipeline.subjectDim(routed)
+        val batchChat = TfPipeline.chatMessages(routed, dim)
+          .select(col("doc_id"), col("line_no"), col("msg.time"), col("msg.name"),
+            col("msg.steam_id").cast("long"), col("msg.message"), col("msg.chat_type"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+            r.getLong(4), r.getString(5), r.getString(6)))
+          .toSet
+        assert(batchChat.nonEmpty)
+        assert(gotChat == batchChat,
+          s"chat stream diverged: only-stream=${gotChat -- batchChat}, only-batch=${batchChat -- gotChat}")
+      } finally qc.stop()
     } finally q.stop()
   }
 
