@@ -229,13 +229,19 @@ object Bench {
     val qraw = results
       .map { case (k, xs) => "\"" + k + "\":" + xs.map(jnum).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // a throwing query samples as [-1]; surface it EXPLICITLY instead of
+    // letting the filtered total silently shrink (a broken query must read
+    // as broken in the artifact, not as a faster run)
+    val errored = results.collect { case (k, xs) if xs.exists(_ < 0) => k } ++
+      (if (bigRaw.exists(_ < 0)) Seq("tf_pipeline_big") else Nil)
+    val errJson = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(r => mn(r._2)).filter(_ >= 0).sum
     val pipeSec = results.toMap.get("tf_pipeline").map(mn).getOrElse(-1.0)
     val thrSmall = if (pipeSec > 0) nRows / pipeSec else -1.0
     val thr = if (bigSec > 0) bigRows / bigSec else thrSmall
     val bigRawJson = bigRaw.map(jnum).mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_median":$qmed%s,"queries_raw":$qraw%s,"headline":"min","sf":"$sfDir%s","rows":$nRows%d,"cpus":"$cpus%s","pipeline_seq_per_sec":$thr%.1f,"pipeline_seq_per_sec_small":$thrSmall%.1f,"big_rows":$bigRows%d,"big_sec":$bigSec%.3f,"big_raw":$bigRawJson%s,"iters":$iters%d}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_median":$qmed%s,"queries_raw":$qraw%s,"errors":$errJson%s,"headline":"min","sf":"$sfDir%s","rows":$nRows%d,"cpus":"$cpus%s","pipeline_seq_per_sec":$thr%.1f,"pipeline_seq_per_sec_small":$thrSmall%.1f,"big_rows":$bigRows%d,"big_sec":$bigSec%.3f,"big_raw":$bigRawJson%s,"iters":$iters%d}"""
     )
     spark.stop()
   }

@@ -38,6 +38,28 @@ object SparkEntry {
   private def routedOf(spark: SparkSession, dir: String): DataFrame =
     TfPipeline.routed(TfPipeline.envelope(tfInput(spark, dir)))
 
+  /** Pin a (small) result locally so its memory-sink table / temp input dir
+    * can be dropped before the DataFrame is consumed downstream. */
+  private def localize(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(df.collectAsList(), df.schema)
+
+  private def deleteDir(path: String): Unit = {
+    import java.nio.file._
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walkFileTree(
+        p,
+        new SimpleFileVisitor[Path] {
+          override def visitFile(f: Path, a: attribute.BasicFileAttributes): FileVisitResult = {
+            Files.delete(f); FileVisitResult.CONTINUE
+          }
+          override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+            Files.delete(d); FileVisitResult.CONTINUE
+          }
+        }
+      )
+  }
+
   /** Flagship: full per-player stats from the tokenized log table. */
   def entry(spark: SparkSession): DataFrame = {
     val routed = routedOf(spark, "/root/testdata/sf0.001")
@@ -233,27 +255,37 @@ object SparkEntry {
       // fields for the player subjects with >=1 surviving medic-typed line
       val streaming = graft.streaming.StreamingPipeline
       val dir = java.nio.file.Files.createTempDirectory("graft-medic-stream").toString
-      tfInput(s, d).write.mode("overwrite").parquet(dir)
       val qname = s"medics_stream_v${System.identityHashCode(s)}"
-      val q = streaming
-        .memorySink(streaming.medicStatsStream(s, streaming.sequencedStream(s, dir)), qname, complete = false)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      streaming
-        .latestMedicRows(s.table(qname))
-        .filter(!col("aborted") && shiftrightunsigned(col("sid"), 32) === 1)
-        .select(
-          col("doc_id"), col("sid"),
-          col("advantages_lost"),
-          fcanon(col("biggest_advantage_lost")).as("biggest_advantage_lost"),
-          col("near_full_charge_death"), col("deaths_after_uber"),
-          fcanon(col("avg_time_before_healing")).as("avg_time_before_healing"),
-          fcanon(col("avg_time_to_build")).as("avg_time_to_build"),
-          fcanon(col("avg_time_to_use")).as("avg_time_to_use"),
-          fcanon(col("avg_uber_length")).as("avg_uber_length"),
-          col("charge_count"), col("drops")
+      // localize + clean up: repeated runs must not leak /tmp parquet copies
+      // or registered memory-sink views
+      try {
+        tfInput(s, d).write.mode("overwrite").parquet(dir)
+        val q = streaming
+          .memorySink(streaming.medicStatsStream(s, streaming.sequencedStream(s, dir)), qname, complete = false)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        localize(
+          s,
+          streaming
+            .latestMedicRows(s.table(qname))
+            .filter(!col("aborted") && shiftrightunsigned(col("sid"), 32) === 1)
+            .select(
+              col("doc_id"), col("sid"),
+              col("advantages_lost"),
+              fcanon(col("biggest_advantage_lost")).as("biggest_advantage_lost"),
+              col("near_full_charge_death"), col("deaths_after_uber"),
+              fcanon(col("avg_time_before_healing")).as("avg_time_before_healing"),
+              fcanon(col("avg_time_to_build")).as("avg_time_to_build"),
+              fcanon(col("avg_time_to_use")).as("avg_time_to_use"),
+              fcanon(col("avg_uber_length")).as("avg_uber_length"),
+              col("charge_count"), col("drops")
+            )
         )
+      } finally {
+        s.catalog.dropTempView(qname)
+        deleteDir(dir)
+      }
     }),
     "tf_chat_stream" -> ((s, d) => {
       // streaming chat module against the SAME expectation table as the
@@ -261,15 +293,23 @@ object SparkEntry {
       // first-seen identity, so no latest-row dedup is needed
       val streaming = graft.streaming.StreamingPipeline
       val dir = java.nio.file.Files.createTempDirectory("graft-chat-stream").toString
-      tfInput(s, d).write.mode("overwrite").parquet(dir)
       val qname = s"chat_stream_v${System.identityHashCode(s)}"
-      val q = streaming
-        .memorySink(streaming.chatStream(s, streaming.sequencedStream(s, dir)), qname, complete = false)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-      s.table(qname)
-        .select("doc_id", "line_no", "time", "name", "steam_id", "message", "chat_type")
+      try {
+        tfInput(s, d).write.mode("overwrite").parquet(dir)
+        val q = streaming
+          .memorySink(streaming.chatStream(s, streaming.sequencedStream(s, dir)), qname, complete = false)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        localize(
+          s,
+          s.table(qname)
+            .select("doc_id", "line_no", "time", "name", "steam_id", "message", "chat_type")
+        )
+      } finally {
+        s.catalog.dropTempView(qname)
+        deleteDir(dir)
+      }
     }),
     "tf_composed" -> ((s, d) => {
       // §2.9 surface: custom HighestDamage module composed over the routed

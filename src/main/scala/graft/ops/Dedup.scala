@@ -21,15 +21,39 @@ object Dedup {
     * count-over-window sort exchange, no single-task hot key, and -- unlike
     * a count-side join -- the (often expensive) input subtree is computed
     * exactly once instead of three times. */
-  private[ops] def cappedBuckets(df: DataFrame, keys: Seq[String], id: String, maxN: Int): DataFrame =
+  private[graft] def cappedBuckets(df: DataFrame, keys: Seq[String], id: String, maxN: Int): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(bounded_collect(col(id), maxN).as("__ids"))
       .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
 
+  /** Above this cap, [[bucketPairs]] switches to the chunked generator: a
+    * bucket at the cap emits cap^2/2 pairs, and below ~2k that is fine in one
+    * pipelined task (<= ~2M rows, no exchange); above it, one task would both
+    * straggle and pay O(cap) slice copies per element. */
+  private[graft] val ChunkedPairCap = 2048
+
+  /** Chunk edge length for the large-cap path: per-task pair work is bounded
+    * by PairChunk^2 (~1M rows) regardless of the cap. */
+  private val PairChunk = 1024
+
   /** Capped bucket arrays -> member pairs. Undirected: each unordered pair
     * once per bucket, normalized (pair_a < pair_b); directed: both
-    * orientations. Work per bucket is <= cap^2 by construction. */
-  private[ops] def bucketPairs(buckets: DataFrame, directed: Boolean): DataFrame =
+    * orientations. Members of a bucket are assumed distinct (true for every
+    * caller: ids explode once per bucket key).
+    *
+    * `cap` (the maxN the buckets were built with) picks the strategy: small
+    * caps pair in-place from the array (pipelined, zero exchanges); large
+    * caps decompose each bucket into PairChunk-sized chunk pairs, REPARTITION
+    * the chunk-pair rows, and pair within -- per-task work is bounded by
+    * PairChunk^2 instead of cap^2, and the shuffle carries only
+    * O(cap^2/PairChunk) longs per hot bucket (the two chunk slices per row),
+    * so a cap-sized boilerplate bucket at 100 TB spreads across the cluster
+    * instead of pinning one straggler task. */
+  private[graft] def bucketPairs(buckets: DataFrame, directed: Boolean, cap: Int = ChunkedPairCap): DataFrame =
+    if (cap <= ChunkedPairCap) bucketPairsInTask(buckets, directed)
+    else bucketPairsChunked(buckets, directed)
+
+  private def bucketPairsInTask(buckets: DataFrame, directed: Boolean): DataFrame =
     if (directed)
       buckets
         .select(explode(col("__ids")).as("pair_a"), col("__ids"))
@@ -43,6 +67,62 @@ object Dedup {
           least(col("pair_a"), col("pair_b")).as("pair_a"),
           greatest(col("pair_a"), col("pair_b")).as("pair_b")
         )
+
+  private def shufflePartitions(df: DataFrame): Int =
+    try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    catch { case _: NumberFormatException => 200 }
+
+  private def bucketPairsChunked(buckets: DataFrame, directed: Boolean): DataFrame = {
+    val C = PairChunk
+    def nc: Column = (floor((size(col("__ids")) - 1) / C) + 1).cast("int")
+    // __b only keys the spreading repartition (values never reach output)
+    val base = buckets.select(monotonically_increasing_id().as("__b"), col("__ids"))
+    // chunk-pair rows: undirected needs ci <= cj (each unordered pair lands
+    // in exactly one chunk pair); directed needs every ordered (ci, cj)
+    val chunkRows = base
+      .select(col("__b"), col("__ids"), explode(sequence(lit(0), nc - 1)).as("__ci"))
+      .select(
+        col("__b"),
+        col("__ids"),
+        col("__ci"),
+        explode(sequence(if (directed) lit(0) else col("__ci"), nc - 1)).as("__cj")
+      )
+      .select(
+        col("__b"),
+        col("__ci"),
+        col("__cj"),
+        (col("__ci") === col("__cj")).as("__same"),
+        slice(col("__ids"), col("__ci") * C + 1, lit(C)).as("__ca"),
+        slice(col("__ids"), col("__cj") * C + 1, lit(C)).as("__cb")
+      )
+      // EXPLICIT partition count: the shuffle carries small pre-explosion
+      // rows, so AQE's byte-based coalescing would merge them back into one
+      // task and re-create the straggler this path exists to prevent (the
+      // pair amplification is invisible to shuffle statistics). A
+      // user-numbered repartition is exempt from AQE coalescing.
+      .repartition(shufflePartitions(buckets), col("__b"), col("__ci"), col("__cj"))
+    if (directed)
+      chunkRows
+        .select(col("__same"), col("__cb"), explode(col("__ca")).as("pair_a"))
+        .select(col("__same"), col("pair_a"), explode(col("__cb")).as("pair_b"))
+        .filter(!col("__same") || col("pair_a") =!= col("pair_b"))
+        .select(col("pair_a"), col("pair_b"))
+    else
+      chunkRows
+        .select(col("__same"), col("__cb"), posexplode(col("__ca")).as(Seq("__i", "pair_a")))
+        // same-chunk: strictly-later members of the (identical) slice;
+        // cross-chunk (ci < cj): every member of the later chunk
+        .select(
+          col("pair_a"),
+          explode(
+            when(col("__same"), slice(col("__cb"), col("__i") + 2, lit(C))).otherwise(col("__cb"))
+          ).as("pair_b")
+        )
+        .select(
+          least(col("pair_a"), col("pair_b")).as("pair_a"),
+          greatest(col("pair_a"), col("pair_b")).as("pair_b")
+        )
+  }
 
   /** Exact dedup by content hash: one row per distinct key with the kept
     * (minimum) id and the duplicate count. Map-side partial aggregation
@@ -80,8 +160,14 @@ object Dedup {
     )
 
   /** sig_0..sig_{k-1} from a projected [[minhashHashPairs]] column. Empty
-    * shingle arrays yield NULL (list_min([]) semantics). */
-  def minhashSignature(hashPairs: Column, k: Int): Seq[Column] =
+    * shingle arrays yield NULL (list_min([]) semantics).
+    *
+    * k <= 1024 is the exact-arithmetic bound of the affine combination:
+    * h1 + i*(h2 mod 2^53) stays below 2^63 only while i < ~1024; beyond it
+    * the sum wraps negative and pmod no longer matches the oracle's
+    * non-negative arithmetic. */
+  def minhashSignature(hashPairs: Column, k: Int): Seq[Column] = {
+    require(k >= 1 && k <= 1024, s"minhashSignature: k=$k outside the exact-arithmetic bound [1, 1024]")
     (0 until k).map { i =>
       array_min(
         transform(
@@ -90,6 +176,7 @@ object Dedup {
         )
       ).as(s"sig_$i")
     }
+  }
 
   /** Fast-path signatures: ONE codegen'd traversal computing all k per-salt
     * xxhash64 mins (custom Catalyst expression, Kernels.minhashMulti) --
@@ -152,7 +239,7 @@ object Dedup {
       col("id"),
       posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "band_hash"))
     )
-    bucketPairs(cappedBuckets(banded, Seq("band", "band_hash"), "id", maxBucket), directed = false)
+    bucketPairs(cappedBuckets(banded, Seq("band", "band_hash"), "id", maxBucket), directed = false, maxBucket)
       .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
       .distinct()
   }
@@ -215,7 +302,7 @@ object Dedup {
     // No count-over-window (full sort exchange + df=10M stop-word shingle in
     // one straggler task) and no self-join on sh (which recomputes the
     // exploded table per side); intersections count pairs from the arrays.
-    val inter = bucketPairs(cappedBuckets(ex, Seq("sh"), "id", maxDf), directed = false)
+    val inter = bucketPairs(cappedBuckets(ex, Seq("sh"), "id", maxDf), directed = false, maxDf)
       .groupBy(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter

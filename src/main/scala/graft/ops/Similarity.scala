@@ -25,7 +25,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** floor(cosine*10000) as ONE fused codegen'd kernel pass (bit-identical
-    * double arithmetic to the expression chain; differential spec pins it). */
+    * double arithmetic to the expression chain for finite results;
+    * differential spec pins it).
+    *
+    * Zero-norm (all-zero) vectors: the kernel returns NULL where the raw
+    * floor(cosine) chain produced floor(NaN) = 0 -- a deliberate choice, so
+    * degenerate vectors sort nulls-LAST in the top-k rankings below instead
+    * of ranking as similarity 0. Callers that need the old behavior can
+    * coalesce(_, 0). */
   def cosineX10000(a: Column, b: Column): Column =
     graft.expr.GraftExpressions.cosine_x10000(a, b)
 
@@ -120,7 +127,7 @@ object Similarity {
     // every qid needs all its neighbors -- with no self-join (which would
     // recompute the hyperplane projections per side plus a count side)
     val cands = Dedup
-      .bucketPairs(Dedup.cappedBuckets(buckets, Seq("t", "bucket"), "id", maxBucket), directed = true)
+      .bucketPairs(Dedup.cappedBuckets(buckets, Seq("t", "bucket"), "id", maxBucket), directed = true, maxBucket)
       .select(col("pair_a").as("qid"), col("pair_b").as("cid"))
       .distinct()
     val scored = cands

@@ -156,6 +156,9 @@ object JsonEmit {
     docs
       .select(col("doc_id"))
       .distinct()
-      .join(mainJson(TfPipeline.perPlayer(routed, dim), TfPipeline.chat(routed, dim)), Seq("doc_id"), "left")
+      // the UNORDERED assembly: mainJson sort_arrays by steam64 per doc, so
+      // perPlayer's global orderBy (range sampling pass + exchange) would be
+      // pure wasted work on this path
+      .join(mainJson(TfPipeline.perPlayerAssembled(routed, dim), TfPipeline.chat(routed, dim)), Seq("doc_id"), "left")
       .withColumn("json", coalesce(col("json"), lit("[{},{}]")))
 }

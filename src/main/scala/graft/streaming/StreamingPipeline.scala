@@ -403,8 +403,13 @@ object StreamingPipeline {
                     val parts = graft.expr.Steam.splitPlayerSubject(l.subject)
                     if (parts == null) SubjEntry(3, l.subject, -1L)
                     else {
+                      // ASCII digits ONLY, matching the batch twin's
+                      // rlike("^[0-9]{1,18}$") -- Character.isDigit also
+                      // accepts non-ASCII Unicode decimal digits, which the
+                      // batch path classifies as data_kind=3
                       val uidOk = parts(1).nonEmpty && parts(1).length <= 18 &&
-                        parts(1).forall(_.isDigit) && java.lang.Long.parseLong(parts(1)) <= 65535L
+                        parts(1).forall(c => c >= '0' && c <= '9') &&
+                        java.lang.Long.parseLong(parts(1)) <= 65535L
                       val acct = graft.expr.Kernels.steamTextAccount(
                         org.apache.spark.unsafe.types.UTF8String.fromString(parts(2)))
                       if (acct != null && uidOk)

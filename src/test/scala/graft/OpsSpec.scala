@@ -348,4 +348,43 @@ class OpsSpec extends AnyFunSuite {
     val unbounded = Dedup.ngramJaccardPairs(patho, col("doc_id"), col("sh"), maxDf = Int.MaxValue)
     assert(unbounded.count() == 100L * 99 / 2, "sanity: uncapped blow-up is real")
   }
+
+  test("chunked bucket pairs: equal to the in-task generator, spread across tasks") {
+    import spark.implicits._
+    // one bucket spanning 3 chunks (n=3000 > 2*PairChunk) plus a small one:
+    // the large-cap path decomposes into chunk pairs and repartitions, so no
+    // single task emits the full n^2/2 explosion
+    val ids = ((0 until 3000).map(i => ("hot", i.toLong)) ++
+      (0 until 5).map(i => ("cold", 100000L + i))).toDF("k", "id")
+    def buckets = ids.groupBy("k").agg(
+      graft.expr.BoundedCollect.bounded_collect(col("id"), 10000).as("__ids")
+    ).filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val small = pairSet(Dedup.bucketPairs(buckets, directed = false, cap = 2048))
+    val chunked = pairSet(Dedup.bucketPairs(buckets, directed = false, cap = 10000))
+    assert(chunked.size == 3000 * 2999 / 2 + 5 * 4 / 2, "exact undirected pair count")
+    assert(chunked == small, "chunked generator must produce the identical pair set")
+
+    val smallD = pairSet(Dedup.bucketPairs(buckets, directed = true, cap = 2048))
+    val chunkedD = pairSet(Dedup.bucketPairs(buckets, directed = true, cap = 10000))
+    assert(chunkedD.size == 3000 * 2999 + 5 * 4, "exact directed pair count")
+    assert(chunkedD == smallD, "directed chunked generator must match")
+
+    // scale property: the chunked plan repartitions the chunk-pair rows (the
+    // spreading exchange the in-task plan deliberately lacks)
+    val chunkedPlan = Dedup.bucketPairs(buckets, directed = false, cap = 10000)
+      .queryExecution.executedPlan.toString
+    assert(chunkedPlan.contains("Exchange"), "chunked path must spread via an exchange")
+
+    // per-task bound: with shuffle.partitions=4 and 3 chunks -> 6 chunk
+    // pairs, no task can see more than a few chunk pairs of <=C^2 work; count
+    // rows per partition right after the pair explode to pin the spread
+    val perPart = Dedup.bucketPairs(buckets, directed = false, cap = 10000)
+      .rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+    val total = 3000L * 2999 / 2 + 5 * 4 / 2
+    assert(perPart.sum == total)
+    assert(perPart.max < total, "pair generation must not collapse into one task")
+  }
 }
