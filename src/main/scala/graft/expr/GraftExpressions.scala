@@ -120,6 +120,31 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** chrono "%a %b %d %H:%M:%S %Z %Y" ParseError-kind ordinal (0 = valid);
+    * see [[ChronoDate]]. */
+  case class ChronoClassify(child: Expression) extends UnaryKernel {
+    override def dataType: DataType = IntegerType
+    override protected def kernelCall(c: String): String =
+      s"graft.expr.Kernels.chronoClassifyBoxed($c)"
+    override protected def boxedJavaType: String = "java.lang.Integer"
+    override protected def unbox(tmp: String): String = s"$tmp.intValue()"
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.chronoClassifyBoxed(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** LOCAL epoch seconds of a chrono-valid launch date; null when invalid. */
+  case class ChronoEpochLocal(child: Expression) extends UnaryKernel {
+    override def dataType: DataType = LongType
+    override protected def kernelCall(c: String): String =
+      s"graft.expr.Kernels.chronoEpochLocalBoxed($c)"
+    override protected def boxedJavaType: String = "java.lang.Long"
+    override protected def unbox(tmp: String): String = s"$tmp.longValue()"
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.chronoEpochLocalBoxed(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class ParseF32(child: Expression) extends UnaryKernel {
     override def dataType: DataType = FloatType
     override protected def kernelCall(c: String): String = s"graft.expr.Kernels.parseF32Boxed($c)"
@@ -358,6 +383,8 @@ object GraftExpressions {
   def clamp_i64(c: Column): Column = col(ClampInt(ex(c), Long.MinValue, Long.MaxValue))
   def parse_f32(c: Column): Column = col(ParseF32(ex(c)))
   def date_epoch(c: Column): Column = col(DateEpoch(ex(c)))
+  def chrono_classify(c: Column): Column = col(ChronoClassify(ex(c)))
+  def chrono_epoch_local(c: Column): Column = col(ChronoEpochLocal(ex(c)))
   def parse_position(c: Column): Column = col(ParsePosition(ex(c)))
   def class_normalize(c: Column): Column = col(ClassNormalize(ex(c)))
   def subject_id(kind: Column, subject: Column): Column = col(SubjectIdExpr(ex(kind), ex(subject)))

@@ -37,6 +37,20 @@ object Kernels {
     if (ep == Long.MinValue) null else java.lang.Long.valueOf(ep)
   }
 
+  /** chrono-format launch-date classification ([[ChronoDate]]): ParseError
+    * kind ordinal, 0 = valid. Null only on null input. */
+  def chronoClassifyBoxed(s: UTF8String): java.lang.Integer = {
+    if (s == null) return null
+    Integer.valueOf(ChronoDate.parse(s.getBytes).err)
+  }
+
+  /** LOCAL epoch seconds of a chrono-valid launch date; null when invalid. */
+  def chronoEpochLocalBoxed(s: UTF8String): java.lang.Long = {
+    if (s == null) return null
+    val r = ChronoDate.parse(s.getBytes)
+    if (r.err == ChronoDate.Ok) java.lang.Long.valueOf(r.epochLocal) else null
+  }
+
   // ---- envelope ----------------------------------------------------------
 
   /** struct(status tinyint, date string, kind tinyint, subject string,

@@ -34,10 +34,15 @@ object Lobby {
   private def strictBool(v: Column): Column =
     when(v === "true", true).when(v === "false", false) // null = error
 
-  /** u32 FromStr: optional '+', digits, value <= u32::MAX. */
+  /** u32 FromStr: optional '+', ASCII digits (ANY count -- leading zeros are
+    * legal, "00000000001" parses to 1), VALUE <= u32::MAX. */
   private def strictU32(v: Column): Column = {
     val digits = regexp_replace(v, "^\\+", "")
-    when(digits.rlike("^[0-9]{1,10}$") && digits.cast("long") <= 4294967295L, digits.cast("long"))
+    val trimmed = regexp_replace(digits, "^0+(?=[0-9])", "")
+    when(
+      digits.rlike("^[0-9]+$") && length(trimmed) <= 10 && trimmed.cast("long") <= 4294967295L,
+      trimmed.cast("long")
+    )
   }
 
   /** ParseIntError Display for a failed u32 parse (lobby header id). */
@@ -62,94 +67,36 @@ object Lobby {
   }
 
   // ---- launch-date parsing (chrono "%a %b %d %H:%M:%S %Z %Y") -------------
+  //
+  // The scan/resolution itself lives in the graft.expr.ChronoDate kernel -- a
+  // byte-exact twin of chrono's parse for this one format, including the
+  // TooShort/TooLong/Invalid/OutOfRange/Impossible error long tail and their
+  // Display strings. The timezone resolves FIRST by containment
+  // (get_timezone, lobbysettings.rs:231-239), before the date is scanned.
 
-  private val dateShape =
-    "^([A-Za-z]+) ([A-Za-z]+) ([0-9]{1,2}) ([0-9]{2}):([0-9]{2}):([0-9]{2}) ([^ ]+) ([0-9]{4})$"
-
-  private val monthNames = Seq(
-    "jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec"
-  )
-  private val monthLong = Seq(
-    "january", "february", "march", "april", "may", "june", "july", "august",
-    "september", "october", "november", "december"
-  )
-  private val weekdayNames = Seq("thu", "fri", "sat", "sun", "mon", "tue", "wed") // epoch-day 0 = Thursday
-  private val weekdayLong =
-    Seq("thursday", "friday", "saturday", "sunday", "monday", "tuesday", "wednesday")
-
-  private def monthNum(tok: Column): Column =
-    (monthNames.zipWithIndex ++ monthLong.zipWithIndex)
-      .foldLeft(lit(null).cast("int")) { case (acc, (n, i)) =>
-        when(tok === n, lit(i + 1)).otherwise(acc)
-      }
-
-  /** Weekday token -> epoch-day-mod-7 index (0 = Thursday); null unknown. */
-  private def weekdayIdx(tok: Column): Column =
-    (weekdayNames.zipWithIndex ++ weekdayLong.zipWithIndex)
-      .foldLeft(lit(null).cast("int")) { case (acc, (n, i)) =>
-        when(tok === n, lit(i)).otherwise(acc)
-      }
-
-  /** Pieces of the launch-date validation, shared by value and error paths. */
-  private final case class DateParts(
-      tzOffset: Column, // seconds east; null = unknown timezone
-      shapeOk: Column,
-      tokensOk: Column, // month + weekday names recognized
-      rangeOk: Column, // field ranges scannable by chrono
-      epochLocal: Column, // kernel epoch of the local datetime; null = bad calendar date
-      weekdayOk: Column // named weekday consistent with the date
-  )
-
-  private def dateParts(v: Column): DateParts = {
-    // reference resolves the timezone FIRST, by containment (get_timezone)
-    val tzOffset = when(v.contains("CEST"), 7200).when(v.contains("CET"), 3600)
-    val wdTok = lower(regexp_extract(v, dateShape, 1))
-    val moTok = lower(regexp_extract(v, dateShape, 2))
-    val day = regexp_extract(v, dateShape, 3)
-    val hh = regexp_extract(v, dateShape, 4)
-    val mm = regexp_extract(v, dateShape, 5)
-    val ss = regexp_extract(v, dateShape, 6)
-    val year = regexp_extract(v, dateShape, 8)
-    val shapeOk = v.rlike(dateShape)
-    val mo = monthNum(moTok)
-    val wd = weekdayIdx(wdTok)
-    val tokensOk = shapeOk && mo.isNotNull && wd.isNotNull
-    val rangeOk = shapeOk &&
-      hh.cast("int") <= 23 && mm.cast("int") <= 59 && ss.cast("int") <= 59 &&
-      day.cast("int") >= 1 && day.cast("int") <= 31
-    // fixed-UTC kernel epoch; also validates days-in-month (chrono from_ymd)
-    val canonical = concat(
-      lpad(mo.cast("string"), 2, "0"), lit("/"), lpad(day, 2, "0"), lit("/"), year,
-      lit(" - "), hh, lit(":"), mm, lit(":"), ss
-    )
-    val epochLocal = when(tokensOk && rangeOk, graft.expr.GraftExpressions.date_epoch(canonical))
-    val weekdayOk = pmod(floor(epochLocal / 86400L), lit(7L)) === wd.cast("long")
-    DateParts(tzOffset, shapeOk, tokensOk, rangeOk, epochLocal, weekdayOk)
-  }
+  private def tzOffsetOf(v: Column): Column =
+    when(v.contains("CEST"), 7200).when(v.contains("CET"), 3600)
 
   /** Launch date -> UTC timestamp; null on any validation failure. */
   private def dateParse(v: Column): Column = {
-    val p = dateParts(v)
+    val tz = tzOffsetOf(v)
     when(
-      p.tzOffset.isNotNull && p.epochLocal.isNotNull && p.weekdayOk,
-      timestamp_seconds(p.epochLocal - p.tzOffset.cast("long"))
+      tz.isNotNull,
+      timestamp_seconds(graft.expr.GraftExpressions.chrono_epoch_local(v) - tz.cast("long"))
     )
   }
 
   /** (error_kind, display) for a Launch date value; kind null when valid.
     * Display strings follow LobbySettingsError / chrono::ParseError. */
   private def dateErr(v: Column): (Column, Column) = {
-    val p = dateParts(v)
+    val tz = tzOffsetOf(v)
+    val code = graft.expr.GraftExpressions.chrono_classify(v)
     val kind =
-      when(p.tzOffset.isNull, "unknown_timezone")
-        .when(!p.tokensOk, "invalid_date")
-        .when(!p.rangeOk, "invalid_date")
-        .when(p.epochLocal.isNull || !p.weekdayOk, "invalid_date")
+      when(tz.isNull, "unknown_timezone")
+        .when(code =!= 0, "invalid_date")
     val display =
-      when(p.tzOffset.isNull, concat(lit("Unknown timezone in date: "), v))
-        .when(!p.tokensOk, "input contains invalid characters")
-        .when(!p.rangeOk, "input is out of range")
-        .when(p.epochLocal.isNull || !p.weekdayOk, "no possible date and time matching input")
+      when(tz.isNull, concat(lit("Unknown timezone in date: "), v))
+        .when(code =!= 0, element_at(typedLit(graft.expr.ChronoDate.displays.toSeq), code + 1))
     (kind, display)
   }
 

@@ -332,17 +332,21 @@ object SimExpectations {
     v match { case "true" => Some(true); case "false" => Some(false); case _ => None }
 
   private def strictU32(v: String): Option[Long] = {
+    // Rust u32 FromStr: '+' prefix, ASCII digits (leading zeros legal, any
+    // count), VALUE <= u32::MAX
     val digits = v.stripPrefix("+")
-    if (digits.nonEmpty && digits.length <= 10 && digits.forall(_.isDigit) &&
-      java.lang.Long.parseLong(digits) <= 4294967295L)
-      Some(java.lang.Long.parseLong(digits))
-    else None
+    if (digits.nonEmpty && digits.forall(c => c >= '0' && c <= '9')) {
+      val trimmed = digits.dropWhile(_ == '0') match { case "" => "0"; case t => t }
+      if (trimmed.length <= 10 && java.lang.Long.parseLong(trimmed) <= 4294967295L)
+        Some(java.lang.Long.parseLong(trimmed))
+      else None
+    } else None
   }
 
   private def parseIntErrDisplay(v: String): String = {
     val digits = v.stripPrefix("+")
     if (v.isEmpty) "cannot parse integer from empty string"
-    else if (!digits.nonEmpty || !digits.forall(_.isDigit)) "invalid digit found in string"
+    else if (digits.isEmpty || !digits.forall(c => c >= '0' && c <= '9')) "invalid digit found in string"
     else "number too large to fit in target type"
   }
 
@@ -351,46 +355,26 @@ object SimExpectations {
     if (p < 0) return None
     val name = v.substring(0, p)
     val rest = v.substring(p + 2).replaceAll("\\)+$", "")
-    if (rest.nonEmpty && rest.length <= 18 && rest.forall(_.isDigit)) Some((name, java.lang.Long.parseLong(rest)))
+    if (rest.nonEmpty && rest.length <= 18 && rest.forall(c => c >= '0' && c <= '9'))
+      Some((name, java.lang.Long.parseLong(rest)))
     else None
   }
 
-  // ---- launch-date twin of Lobby.dateParts/dateErr ------------------------
+  // ---- launch-date twin of Lobby.dateParse/dateErr ------------------------
 
-  private val dateShapeRe =
-    "^([A-Za-z]+) ([A-Za-z]+) ([0-9]{1,2}) ([0-9]{2}):([0-9]{2}):([0-9]{2}) ([^ ]+) ([0-9]{4})$".r
-  private val monthIdx =
-    (Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec").zipWithIndex ++
-      Seq("january", "february", "march", "april", "may", "june", "july", "august",
-        "september", "october", "november", "december").zipWithIndex).toMap
-  private val weekdayIdx = // epoch-day 0 = Thursday
-    (Seq("thu", "fri", "sat", "sun", "mon", "tue", "wed").zipWithIndex ++
-      Seq("thursday", "friday", "saturday", "sunday", "monday", "tuesday", "wednesday").zipWithIndex).toMap
-
-  /** Right(utcEpoch) or Left((error_kind, display)). */
+  /** Right(utcEpoch) or Left((error_kind, display)). Timezone resolves FIRST
+    * by containment; the naive-datetime part goes through the SAME
+    * chrono-faithful kernel the engine uses ([[graft.expr.ChronoDate]]),
+    * including the TooShort/TooLong/Invalid/OutOfRange/Impossible Displays. */
   private def dateEpochChecked(v: String): Either[(String, String), Long] = {
     val tzOffset =
       if (v.contains("CEST")) Some(7200L)
       else if (v.contains("CET")) Some(3600L)
       else None
     if (tzOffset.isEmpty) return Left(("unknown_timezone", s"Unknown timezone in date: $v"))
-    v match {
-      case dateShapeRe(wd, mon, day, hh, mm, ss, _, year) =>
-        (monthIdx.get(mon.toLowerCase), weekdayIdx.get(wd.toLowerCase)) match {
-          case (Some(m), Some(w)) =>
-            if (hh.toInt > 23 || mm.toInt > 59 || ss.toInt > 59 || day.toInt < 1 || day.toInt > 31)
-              Left(("invalid_date", "input is out of range"))
-            else {
-              val canonical = f"${m + 1}%02d/${day.toInt}%02d/$year - $hh:$mm:$ss"
-              val ep = LineParser.dateEpoch(canonical)
-              if (ep == Long.MinValue || java.lang.Math.floorMod(java.lang.Math.floorDiv(ep, 86400L), 7L) != w.toLong)
-                Left(("invalid_date", "no possible date and time matching input"))
-              else Right(ep - tzOffset.get)
-            }
-          case _ => Left(("invalid_date", "input contains invalid characters"))
-        }
-      case _ => Left(("invalid_date", "input contains invalid characters"))
-    }
+    val r = graft.expr.ChronoDate.parse(v)
+    if (r.err == graft.expr.ChronoDate.Ok) Right(r.epochLocal - tzOffset.get)
+    else Left(("invalid_date", graft.expr.ChronoDate.displays(r.err)))
   }
 
   private def dateEpoch(v: String): Option[Long] = dateEpochChecked(v).toOption

@@ -137,6 +137,47 @@ class LobbySpec extends AnyFunSuite {
     }
     assert(errOf("Sun Apr 11 25:00:00 CEST 2021") == ("invalid_date", "input is out of range"))
     assert(errOf("Xxx Apr 11 23:00:00 CEST 2021") == ("invalid_date", "input contains invalid characters"))
-    assert(errOf("Tue Feb 30 23:00:00 CET 2021") == ("invalid_date", "no possible date and time matching input"))
+    // bad calendar day fails in chrono's from_ymd_opt -> OutOfRange (NOT
+    // Impossible; that is reserved for field inconsistency, e.g. weekday)
+    assert(errOf("Tue Feb 30 23:00:00 CET 2021") == ("invalid_date", "input is out of range"))
+    // chrono %a/%b match exactly three letters: a LONG weekday name parses
+    // "Sun" then fails at the month position with Invalid
+    assert(errOf("Sunday Apr 11 23:33:27 CEST 2021") == ("invalid_date", "input contains invalid characters"))
+    // the TooShort / TooLong long tail carries chrono's own Displays
+    assert(errOf("Sun Apr 11 23:33:27 CEST") == ("invalid_date", "premature end of input"))
+    assert(errOf("Sun Apr 11 23:33:27 CEST 2021 extra") == ("invalid_date", "trailing input"))
+  }
+
+  test("launch date: chrono numeric widths (1-digit hour valid, leap second folds to :59)") {
+    def dateOf(dateVal: String): java.sql.Timestamp = {
+      val lines = Seq(say("TF2Center Lobby #42 | x"), say(s"Launch date: $dateVal"))
+      val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d8", lines)))))
+      val r = Lobby.lobbySettings(routed).collect()(0)
+      assert(r.getBoolean(1), s"expected valid: $dateVal")
+      val exp = graft.sim.SimExpectations.lobby("d8", lines.toIndexedSeq).get
+      val ts = r.getStruct(4).getTimestamp(11)
+      assert(exp.date_epoch == ts.toInstant.getEpochSecond, dateVal)
+      ts
+    }
+    // chrono scans 1..=2 digits for %H -- "3:33:27" is a valid time
+    assert(dateOf("Sun Apr 11 3:33:27 CEST 2021").toInstant.toString == "2021-04-11T01:33:27Z")
+    // second == 60 is chrono's leap-second representation (epoch second 59)
+    assert(dateOf("Sun Apr 11 23:59:60 CEST 2021").toInstant.toString == "2021-04-11T21:59:59Z")
+  }
+
+  test("lobby id: leading zeros are legal u32 (Rust FromStr semantics)") {
+    val lines = Seq(say("TF2Center Lobby #0001148166 | x"), say("Map: foo"))
+    val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d9", lines)))))
+    val r = Lobby.lobbySettings(routed).collect()(0)
+    assert(r.getBoolean(1), "leading-zero id must parse")
+    assert(r.getStruct(4).getLong(0) == 1148166L)
+    // and an over-u32 VALUE (not length) still errors with the right Display
+    val lines2 = Seq(say("TF2Center Lobby #004294967296 | x"))
+    val routed2 = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d10", lines2)))))
+    val r2 = Lobby.lobbySettings(routed2).collect()(0)
+    assert(!r2.getBoolean(1) && r2.getString(2) == "invalid_lobby_id")
+    assert(r2.getString(3) == "number too large to fit in target type")
+    val exp = graft.sim.SimExpectations.lobby("d9", lines.toIndexedSeq).get
+    assert(exp.ok == 1L && exp.id == 1148166L)
   }
 }
