@@ -53,9 +53,31 @@ object Kernels {
 
   // ---- envelope ----------------------------------------------------------
 
+  private val U_INVALID = UTF8String.fromString("invalid")
+
   /** struct(status tinyint, date string, kind tinyint, subject string,
-    * event_type string, params string, ts long) */
+    * event_type string, params string, ts long).
+    *
+    * Fast path: [[ByteParser]] -- one byte copy, zero transcoding, output
+    * fields as views; the String-based [[LineParser]] only runs for lines
+    * the byte parser refuses (non-ASCII at a UTF-16-sensitive position). */
   def parseRawLine(line: UTF8String): InternalRow = {
+    val rb = ByteParser.parse(line)
+    if (rb != null) {
+      val out = new GenericInternalRow(7)
+      out.update(0, rb.status)
+      if (rb.status == LineParser.OK) {
+        out.update(1, rb.date)
+        out.update(2, rb.kind)
+        out.update(3, rb.subject)
+        out.update(4, rb.eventType)
+        out.update(5, rb.params)
+        if (rb.ts != Long.MinValue) out.setLong(6, rb.ts)
+      } else {
+        out.update(4, U_INVALID)
+      }
+      return out
+    }
     val r = LineParser.parse(line.toString)
     val out = new GenericInternalRow(7)
     out.update(0, r.status)
@@ -68,15 +90,40 @@ object Kernels {
       val ep = LineParser.dateEpoch(r.date)
       if (ep != Long.MinValue) out.setLong(6, ep)
     } else {
-      out.update(4, UTF8String.fromString("invalid"))
+      out.update(4, U_INVALID)
     }
     out
   }
 
+  private val U_ERR_KEY = UTF8String.fromString("__error")
+  private val U_ONE = UTF8String.fromString("1")
+
   /** Typed param extraction -> map<string,string>; parse errors surface as a
-    * `__error -> "1"` entry. Duplicate keys keep the LAST occurrence
-    * (mirrors the reference's sequential field assignment). */
+    * `__error -> "1"` entry. Duplicate keys keep the LAST occurrence at the
+    * FIRST position (mirrors the reference's sequential field assignment;
+    * LinkedHashMap.put semantics). Fast path: [[ByteParser.paramsFor]]. */
   def paramsMap(eventType: UTF8String, params: UTF8String): MapData = {
+    val pb = ByteParser.paramsFor(eventType, params)
+    if (pb != null) {
+      var n = pb.keys.length
+      val keys = new java.util.LinkedHashMap[UTF8String, UTF8String](n * 2)
+      var i = 0
+      while (i < n) { keys.put(pb.keys(i), pb.values(i)); i += 1 }
+      if (pb.error || ByteParser.typedError(eventType, pb.keys, pb.values))
+        keys.put(U_ERR_KEY, U_ONE)
+      n = keys.size()
+      val ks = new Array[Any](n)
+      val vs = new Array[Any](n)
+      val it = keys.entrySet().iterator()
+      i = 0
+      while (it.hasNext) {
+        val e = it.next()
+        ks(i) = e.getKey
+        vs(i) = e.getValue
+        i += 1
+      }
+      return new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+    }
     val ty = eventType.toString
     val p = LineParser.paramsFor(ty, params.toString)
     var n = p.keys.length
