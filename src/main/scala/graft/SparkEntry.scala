@@ -311,6 +311,50 @@ object SparkEntry {
         deleteDir(dir)
       }
     }),
+    "tf_classstats_stream" -> ((s, d) => {
+      // streaming classStats (flatMapGroupsWithState as-of machine) gated
+      // against the SAME sim expectation as the batch path: the stream
+      // provides the class arrays, the (gate-proven) subject dimension
+      // provides the player universe + steam3 identity, zeros fill players
+      // that were never a beneficiary -- exactly tf_per_player's shape
+      val streaming = graft.streaming.StreamingPipeline
+      val dir = java.nio.file.Files.createTempDirectory("graft-class-stream").toString
+      val qname = s"class_stream_v${System.identityHashCode(s)}"
+      try {
+        tfInput(s, d).write.mode("overwrite").parquet(dir)
+        val q = streaming
+          .memorySink(streaming.classStatsStream(s, streaming.sequencedStream(s, dir)), qname, complete = false)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val latest = streaming
+          .latestMedicRows(s.table(qname))
+          .filter(!col("aborted") && shiftrightunsigned(col("sid"), 32) === 1)
+        val r = routedOf(s, d)
+        val players = TfPipeline
+          .subjectDim(r)
+          .filter(shiftrightunsigned(col("sid"), 32) === 1)
+          .select(col("doc_id"), col("sid"))
+        val cells = Seq("kills" -> "k", "deaths" -> "d", "assists" -> "a", "damage" -> "g").flatMap {
+          case (src, p) =>
+            (0 until 10).map(i => coalesce(element_at(col(src), i + 1), lit(0L)).as(s"$p$i"))
+        }
+        localize(
+          s,
+          players
+            .join(latest, Seq("doc_id", "sid"), "left")
+            .select(
+              Seq(
+                col("doc_id"),
+                concat(lit("[U:1:"), col("sid").bitwiseAND(lit(0xffffffffL)), lit("]")).as("steam3")
+              ) ++ cells: _*
+            )
+        )
+      } finally {
+        s.catalog.dropTempView(qname)
+        deleteDir(dir)
+      }
+    }),
     "tf_composed" -> ((s, d) => {
       // §2.9 surface: custom HighestDamage module composed over the routed
       // frame (examples/custom_handler.rs:29-56 shape)
@@ -554,6 +598,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "tf_medic_stream" -> expOracle("tf_medic_stream"),
     "tf_chat_stream" -> expOracle("tf_chat"),
+    // the streaming classStats machine must reproduce the class-array slice
+    // of the sim's per-player expectation exactly
+    "tf_classstats_stream" -> {
+      val cells = Seq("k", "d", "a", "g").flatMap(p => (0 until 10).map(i => s"$p$i")).mkString(", ")
+      s"SELECT doc_id, steam3, $cells FROM read_parquet('__EXP__/tf_per_player/*.parquet')"
+    },
     "tf_per_player" -> expOracle("tf_per_player"),
     "tf_chat" -> expOracle("tf_chat"),
     "tf_route_counts" -> expOracle("tf_route_counts"),

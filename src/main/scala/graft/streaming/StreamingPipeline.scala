@@ -114,7 +114,12 @@ object StreamingPipeline {
       duration: Float,
       f_time: Float,
       subject: String,
-      text: String
+      text: String,
+      // classStats fields (null/None outside their event types)
+      class_str: String,
+      target_kind: String,
+      target_raw: String,
+      dmgOpt: Option[Long]
   )
 
   /** Mutable-free per-medic accumulator mirroring TfPipeline.medicStats'
@@ -233,12 +238,23 @@ object StreamingPipeline {
       .withColumn("charge", coalesce(clamp_u32(element_at(col("pm"), "ubercharge")), lit(0L)))
       .withColumn("duration", coalesce(parse_f32(element_at(col("pm"), "duration")), lit(0f)))
       .withColumn("f_time", coalesce(parse_f32(element_at(col("pm"), "time")), lit(0f)))
+      .withColumn(
+        "class_str",
+        class_normalize(
+          when(col("event_type") === "spawned", element_at(col("pm"), "as"))
+            .when(col("event_type") === "role_change", element_at(col("pm"), "to"))
+        )
+      )
       .select(
         col("doc_id"), col("line_no"), col("status"), col("handled"),
         col("typed_err"), col("rescue_a"), col("ts").as("tsOpt"), col("sid"),
         coalesce(col("event_type"), lit("")).as("event_type"),
         col("charge"), col("duration"), col("f_time"),
-        col("subject"), element_at(col("pm"), "_text").as("text")
+        col("subject"), element_at(col("pm"), "_text").as("text"),
+        col("class_str"),
+        element_at(col("pm"), "_target_kind").as("target_kind"),
+        coalesce(element_at(col("pm"), "_target"), element_at(col("pm"), "against")).as("target_raw"),
+        clamp_i64(element_at(col("pm"), "damage")).as("dmgOpt")
       )
   }
 
@@ -345,6 +361,153 @@ object StreamingPipeline {
             Iterator.single(
               MedicRow(doc, -1L, aborted = true, 0L, 0f, 0L, 0L, 0f, 0f, 0f, 0f, 0L, 0L, st.ctl.nextLine))
           else emitRows(doc, st)
+        }
+      }
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming classStats module (A1-A4 + J3 as-of class + A13 round gate)
+  // ---------------------------------------------------------------------
+
+  /** Per-beneficiary 10-cell accumulators (u64 here; the reference's u16
+    * saturation is applied at emission, like the batch `least(sum, 65535)`). */
+  final case class ClassAcc(
+      kills: Vector[Long] = Vector.fill(10)(0L),
+      deaths: Vector[Long] = Vector.fill(10)(0L),
+      assists: Vector[Long] = Vector.fill(10)(0L),
+      damage: Vector[Long] = Vector.fill(10)(0L)
+  )
+
+  /** Per-doc classStats state: recovery control, the as-of entry table
+    * (sid -> normalized class; "" = entry created by a kill target with its
+    * class still unknown), accumulators, and the round-active gate. */
+  final case class ClassDocState(
+      ctl: SeqCtl = SeqCtl(),
+      entries: Map[Long, String] = Map.empty,
+      stats: Map[Long, ClassAcc] = Map.empty,
+      active: Boolean = false
+  )
+
+  final case class ClassRow(
+      doc_id: String,
+      sid: Long,
+      aborted: Boolean,
+      kills: Seq[Long],
+      deaths: Seq[Long],
+      assists: Seq[Long],
+      damage: Seq[Long],
+      up_to: Long
+  )
+
+  /** Streaming classStats keyed by doc: the same flatMapGroupsWithState
+    * machine shape as [[medicStatsStream]] (shared [[advance]] recovery
+    * step, doc aborts -> tombstone), running the reference's SEQUENTIAL
+    * as-of semantics (classstats.rs:61-120): spawns/role changes set the
+    * subject's class; an active kill creates the target's entry BEFORE the
+    * class reads; deaths/assists/damage require the read subject to have an
+    * entry; consumers accumulate under the beneficiary subject. Exactly
+    * equal to the batch [[TfPipeline.classStats]] window formulation
+    * (differential-tested incl. doc aborts and consumption chains). */
+  def classStatsStream(spark: SparkSession, seq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    import graft.expr.{LineParser, Steam}
+
+    val zero = Vector.fill(10)(0L)
+    def sat(v: Vector[Long]): Seq[Long] = v.map(x => if (x > 65535L) 65535L else x)
+    def clsIdx(entry: String): Int =
+      if (entry == null || entry.isEmpty) LineParser.classIndex("unknown")
+      else LineParser.classIndex(entry)
+
+    def killTargetSid(l: SeqLine): Long = l.target_kind match {
+      case "player"  => Steam.playerSubjectId(l.target_raw)
+      case "console" => Steam.K_CONSOLE << 32
+      case "team"    => (Steam.K_TEAM << 32) | 2L
+      case _         => Steam.K_SYSTEM << 32
+    }
+
+    seq
+      .as[SeqLine]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[ClassDocState, ClassRow](
+        OutputMode.Update,
+        GroupStateTimeout.NoTimeout
+      ) { case (doc, lines, state) =>
+        var st = state.getOption.getOrElse(ClassDocState())
+        if (st.ctl.aborted) Iterator.empty
+        else {
+          def bump(sid: Long, pick: ClassAcc => ClassAcc): Unit = {
+            val a = st.stats.getOrElse(sid, ClassAcc())
+            st = st.copy(stats = st.stats.updated(sid, pick(a)))
+          }
+          val ordered = lines.toArray.sortBy(_.line_no).filter(_.line_no >= st.ctl.nextLine)
+          var i = 0
+          while (i < ordered.length && !st.ctl.aborted) {
+            val l = ordered(i)
+            i += 1
+            val (ctl2, timeOpt) = advance(st.ctl, l)
+            st = st.copy(ctl = ctl2)
+            if (timeOpt.isDefined) l.event_type match {
+              case "round_start" => st = st.copy(active = true)
+              case "round_win"   => st = st.copy(active = false)
+              case "spawned" | "role_change" =>
+                if (l.class_str != null)
+                  st = st.copy(entries = st.entries.updated(l.sid, l.class_str))
+              case "kill" if st.active =>
+                val tsid = killTargetSid(l)
+                // the attacker's class is read BEFORE the target entry is
+                // created (classstats.rs:81-82) -- observable on a self-kill
+                // with no prior entry; then the target entry is created and
+                // the kill is counted under the target's as-of class
+                val attackerEntry = st.entries.get(l.sid)
+                if (!st.entries.contains(tsid))
+                  st = st.copy(entries = st.entries.updated(tsid, ""))
+                val vIdx = clsIdx(st.entries(tsid))
+                bump(l.sid, a => a.copy(kills = a.kills.updated(vIdx, a.kills(vIdx) + 1)))
+                // the victim is a beneficiary group either way; its death
+                // counts only when the ATTACKER had an entry (its class may
+                // still be unknown) -- classstats.rs:83-86
+                attackerEntry match {
+                  case Some(ac) =>
+                    val aIdx = clsIdx(ac)
+                    bump(tsid, a => a.copy(deaths = a.deaths.updated(aIdx, a.deaths(aIdx) + 1)))
+                  case None => bump(tsid, identity)
+                }
+              case "kill_assist" if st.active =>
+                // the assister's group exists even when the target has no
+                // entry (batch: the consumer row always groups)
+                val counted = l.target_raw != null && {
+                  val t = Steam.againstSubjectId(l.target_raw)
+                  st.entries.contains(t) && {
+                    val tIdx = clsIdx(st.entries(t))
+                    bump(l.sid, a => a.copy(assists = a.assists.updated(tIdx, a.assists(tIdx) + 1)))
+                    true
+                  }
+                }
+                if (!counted) bump(l.sid, identity)
+              case "damage" if st.active =>
+                val d = l.dmgOpt.getOrElse(0L)
+                if (d > 0 && d < 1500) {
+                  val t =
+                    if (l.target_raw == null) Steam.K_SYSTEM << 32
+                    else Steam.againstSubjectId(l.target_raw)
+                  if (st.entries.contains(t)) {
+                    val tIdx = clsIdx(st.entries(t))
+                    bump(l.sid, a => a.copy(damage = a.damage.updated(tIdx, a.damage(tIdx) + d)))
+                  } else bump(l.sid, identity)
+                }
+              case _ =>
+            }
+          }
+          state.update(st)
+          if (st.ctl.aborted)
+            Iterator.single(ClassRow(doc, -1L, aborted = true, zero, zero, zero, zero, st.ctl.nextLine))
+          else
+            st.stats.iterator.map { case (sid, a) =>
+              ClassRow(doc, sid, aborted = false,
+                sat(a.kills), sat(a.deaths), sat(a.assists), sat(a.damage), st.ctl.nextLine)
+            }
         }
       }
       .toDF()

@@ -192,4 +192,71 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming classStats equals batch exactly (multi-batch) and ignores replayed late lines") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-stream-cs").toString
+    try {
+      val input = LogGen.generate(spark, 10, 400, 44L).toDF()
+      // split every doc across two sequential segment files (cross-batch
+      // as-of state: entries created in batch 1 must resolve reads in batch 2)
+      val segs = Seq((0L, 200L), (200L, Long.MaxValue))
+      segs.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val dir = s"$base/seg$i"
+        input.filter(col("line_no") >= lo && col("line_no") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+        f.setLastModified(1000000L + i * 60000L)
+        Files.move(f.toPath, java.nio.file.Paths.get(s"$base/part-$i.parquet"))
+      }
+      val seq = StreamingPipeline.sequencedStream(spark, s"$base/part-*.parquet", maxFilesPerTrigger = Some(1))
+      val q = StreamingPipeline
+        .memorySink(StreamingPipeline.classStatsStream(spark, seq), "class_stream", complete = false)
+        .start()
+      def snapshot(): (Set[String], Map[(String, Long), (Seq[Long], Seq[Long], Seq[Long], Seq[Long])]) = {
+        val latest = StreamingPipeline.latestMedicRows(spark.sql("select * from class_stream"))
+        val tomb = latest.filter(col("aborted")).select("doc_id").collect().map(_.getString(0)).toSet
+        val rows = latest.filter(!col("aborted")).collect().map { r =>
+          (r.getString(0), r.getLong(1)) ->
+            (r.getSeq[Long](3).toSeq, r.getSeq[Long](4).toSeq, r.getSeq[Long](5).toSeq, r.getSeq[Long](6).toSeq)
+        }.toMap
+        (tomb, rows)
+      }
+      try {
+        q.processAllAvailable()
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2, "expected >=2 micro-batches")
+        val (tombstoned, streamed) = snapshot()
+
+        val env = TfPipeline.envelope(input)
+        val (universe, routed) = TfPipeline.routedWithUniverse(env)
+        val abortedBatch = input.select("doc_id").distinct()
+          .join(universe, Seq("doc_id"), "left_anti")
+          .collect().map(_.getString(0)).toSet
+        assert(tombstoned == abortedBatch, "streaming tombstones must equal batch doc aborts")
+
+        val batch = TfPipeline.classStats(routed).collect().map { r =>
+          (r.getString(0), r.getLong(1)) ->
+            (r.getSeq[Long](2).toSeq, r.getSeq[Long](3).toSeq, r.getSeq[Long](4).toSeq, r.getSeq[Long](5).toSeq)
+        }.toMap
+        assert(batch.nonEmpty, "generator must produce class events for this differential to bite")
+        assert(streamed.keySet == batch.keySet,
+          s"beneficiary universe diverged: only-stream=${streamed.keySet -- batch.keySet}, only-batch=${batch.keySet -- streamed.keySet}")
+        for ((k, b) <- batch) assert(streamed(k) == b, s"class arrays diverge at $k")
+
+        // late-line policy: replay the FIRST segment as a new file -- the
+        // per-doc resume guard (nextLine) must drop every replayed line and
+        // leave the state byte-identical
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$base/part-0.parquet"),
+          java.nio.file.Paths.get(s"$base/part-9replay.parquet"))
+        q.processAllAvailable()
+        val (tomb2, streamed2) = snapshot()
+        assert(tomb2 == tombstoned && streamed2 == streamed,
+          "replayed (late) lines must not change streaming classStats state")
+      } finally q.stop()
+    } finally {
+      spark.catalog.dropTempView("class_stream")
+      ()
+    }
+  }
 }
