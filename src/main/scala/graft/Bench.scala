@@ -51,6 +51,15 @@ object Bench {
         )
       )
       .config("spark.ui.enabled", "false")
+    // shuffle-path A/B knobs (BASELINE.md local-cluster attribution runs):
+    // codec (lz4 default / zstd / snappy), shuffle compression on/off (the
+    // loopback+tmpfs path pays compression CPU for bandwidth it may not
+    // need), serializer (kryo for closure/broadcast legs)
+    sys.env.get("SPARK_GRAFT_CODEC").foreach(c => b.config("spark.io.compression.codec", c))
+    sys.env.get("SPARK_GRAFT_SHUFFLE_COMPRESS").foreach(v => b.config("spark.shuffle.compress", v))
+    sys.env.get("SPARK_GRAFT_KRYO").filter(_ == "1").foreach { _ =>
+      b.config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    }
     execs.foreach { _ =>
       val cp = new java.io.File("target/scala-2.13/classes").getAbsolutePath
       val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096")
