@@ -355,6 +355,42 @@ object SparkEntry {
         deleteDir(dir)
       }
     }),
+    "tf_healspread_stream" -> ((s, d) => {
+      // streaming healSpread gated against the sim's per-player heals
+      // string (same expectation slice as tf_per_player.heals)
+      val streaming = graft.streaming.StreamingPipeline
+      val dir = java.nio.file.Files.createTempDirectory("graft-heal-stream").toString
+      val qname = s"heal_stream_v${System.identityHashCode(s)}"
+      try {
+        tfInput(s, d).write.mode("overwrite").parquet(dir)
+        val q = streaming
+          .memorySink(streaming.healSpreadStream(s, streaming.sequencedStream(s, dir)), qname, complete = false)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val latest = streaming
+          .latestMedicRows(s.table(qname))
+          .filter(!col("aborted") && shiftrightunsigned(col("sid"), 32) === 1)
+        val r = routedOf(s, d)
+        val players = TfPipeline
+          .subjectDim(r)
+          .filter(shiftrightunsigned(col("sid"), 32) === 1)
+          .select(col("doc_id"), col("sid"))
+        localize(
+          s,
+          players
+            .join(latest, Seq("doc_id", "sid"), "left")
+            .select(
+              col("doc_id"),
+              concat(lit("[U:1:"), col("sid").bitwiseAND(lit(0xffffffffL)), lit("]")).as("steam3"),
+              coalesce(col("heals"), lit("")).as("heals")
+            )
+        )
+      } finally {
+        s.catalog.dropTempView(qname)
+        deleteDir(dir)
+      }
+    }),
     "tf_composed" -> ((s, d) => {
       // §2.9 surface: custom HighestDamage module composed over the routed
       // frame (examples/custom_handler.rs:29-56 shape)
@@ -604,6 +640,8 @@ object SparkEntry {
       val cells = Seq("k", "d", "a", "g").flatMap(p => (0 until 10).map(i => s"$p$i")).mkString(", ")
       s"SELECT doc_id, steam3, $cells FROM read_parquet('__EXP__/tf_per_player/*.parquet')"
     },
+    "tf_healspread_stream" ->
+      "SELECT doc_id, steam3, heals FROM read_parquet('__EXP__/tf_per_player/*.parquet')",
     "tf_per_player" -> expOracle("tf_per_player"),
     "tf_chat" -> expOracle("tf_chat"),
     "tf_route_counts" -> expOracle("tf_route_counts"),

@@ -115,11 +115,12 @@ object StreamingPipeline {
       f_time: Float,
       subject: String,
       text: String,
-      // classStats fields (null/None outside their event types)
+      // classStats / healSpread fields (null/None outside their event types)
       class_str: String,
       target_kind: String,
       target_raw: String,
-      dmgOpt: Option[Long]
+      dmgOpt: Option[Long],
+      healingOpt: Option[Long]
   )
 
   /** Mutable-free per-medic accumulator mirroring TfPipeline.medicStats'
@@ -254,7 +255,8 @@ object StreamingPipeline {
         col("class_str"),
         element_at(col("pm"), "_target_kind").as("target_kind"),
         coalesce(element_at(col("pm"), "_target"), element_at(col("pm"), "against")).as("target_raw"),
-        clamp_i64(element_at(col("pm"), "damage")).as("dmgOpt")
+        clamp_i64(element_at(col("pm"), "damage")).as("dmgOpt"),
+        clamp_u32(element_at(col("pm"), "healing")).as("healingOpt")
       )
   }
 
@@ -507,6 +509,72 @@ object StreamingPipeline {
             st.stats.iterator.map { case (sid, a) =>
               ClassRow(doc, sid, aborted = false,
                 sat(a.kills), sat(a.deaths), sat(a.assists), sat(a.damage), st.ctl.nextLine)
+            }
+        }
+      }
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming healSpread module (A5: per-(healer, target) u32-wrapped sums)
+  // ---------------------------------------------------------------------
+
+  final case class HealDocState(
+      ctl: SeqCtl = SeqCtl(),
+      heals: Map[Long, Map[Long, Long]] = Map.empty // healer sid -> target account -> u32 sum
+  )
+
+  /** heals rendered in target-account order as "[U:1:acct]:sum;..." -- the
+    * same string shape as tf_per_player's flattened heals column, so the
+    * driver query compares against the SAME sim expectation. */
+  final case class HealRow(doc_id: String, sid: Long, aborted: Boolean, heals: String, up_to: Long)
+
+  /** Streaming healSpread on the shared per-doc machine (healspread.rs:20-33):
+    * `healed` lines whose `against` target is a PLAYER accumulate the healing
+    * amount (absent -> 0) under (healer, target account) with u32 wrapping;
+    * missing `against` is a no-op. Exactly equal to the batch
+    * [[TfPipeline.healSpread]] aggregate (differential-tested). */
+  def healSpreadStream(spark: SparkSession, seq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    import graft.expr.Steam
+
+    def render(m: Map[Long, Long]): String =
+      m.toSeq.sorted.map { case (acct, v) => s"[U:1:$acct]:$v" }.mkString(";")
+
+    seq
+      .as[SeqLine]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[HealDocState, HealRow](
+        OutputMode.Update,
+        GroupStateTimeout.NoTimeout
+      ) { case (doc, lines, state) =>
+        var st = state.getOption.getOrElse(HealDocState())
+        if (st.ctl.aborted) Iterator.empty
+        else {
+          val ordered = lines.toArray.sortBy(_.line_no).filter(_.line_no >= st.ctl.nextLine)
+          var i = 0
+          while (i < ordered.length && !st.ctl.aborted) {
+            val l = ordered(i)
+            i += 1
+            val (ctl2, timeOpt) = advance(st.ctl, l)
+            st = st.copy(ctl = ctl2)
+            if (timeOpt.isDefined && l.event_type == "healed" && l.target_raw != null) {
+              val t = Steam.againstSubjectId(l.target_raw)
+              if (Steam.packedKind(t) == Steam.K_PLAYER.toInt) {
+                val acct = t & 0xffffffffL
+                val m = st.heals.getOrElse(l.sid, Map.empty[Long, Long])
+                val next = (m.getOrElse(acct, 0L) + l.healingOpt.getOrElse(0L)) & 0xffffffffL
+                st = st.copy(heals = st.heals.updated(l.sid, m.updated(acct, next)))
+              }
+            }
+          }
+          state.update(st)
+          if (st.ctl.aborted)
+            Iterator.single(HealRow(doc, -1L, aborted = true, "", st.ctl.nextLine))
+          else
+            st.heals.iterator.map { case (sid, m) =>
+              HealRow(doc, sid, aborted = false, render(m), st.ctl.nextLine)
             }
         }
       }

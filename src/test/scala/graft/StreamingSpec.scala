@@ -243,6 +243,33 @@ class StreamingSpec extends AnyFunSuite {
           s"beneficiary universe diverged: only-stream=${streamed.keySet -- batch.keySet}, only-batch=${batch.keySet -- streamed.keySet}")
         for ((k, b) <- batch) assert(streamed(k) == b, s"class arrays diverge at $k")
 
+        // healSpread module over the SAME multi-batch delivery: exact
+        // equality with the batch aggregate's (healer -> account -> u32 sum)
+        val seqH = StreamingPipeline.sequencedStream(spark, s"$base/part-*.parquet", maxFilesPerTrigger = Some(1))
+        val qh = StreamingPipeline
+          .memorySink(StreamingPipeline.healSpreadStream(spark, seqH), "heal_stream", complete = false)
+          .start()
+        try {
+          qh.processAllAvailable()
+          val gotHeals = StreamingPipeline.latestMedicRows(spark.sql("select * from heal_stream"))
+            .filter(!col("aborted"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1)) -> r.getString(3))
+            .toMap
+          val batchHeals = TfPipeline.healSpread(routed)
+            .select(col("doc_id"), col("sid"),
+              array_join(
+                transform(map_entries(col("heals_by_account")),
+                  e => concat(lit("[U:1:"), e.getField("key"), lit("]:"), e.getField("value"))),
+                ";").as("heals"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2))
+            .toMap
+          assert(batchHeals.nonEmpty, "generator must produce heal events")
+          assert(gotHeals == batchHeals,
+            s"healSpread diverged: only-stream=${gotHeals.toSet -- batchHeals.toSet}, only-batch=${batchHeals.toSet -- gotHeals.toSet}")
+        } finally qh.stop()
+
         // late-line policy: replay the FIRST segment as a new file -- the
         // per-doc resume guard (nextLine) must drop every replayed line and
         // leave the state byte-identical
@@ -256,6 +283,7 @@ class StreamingSpec extends AnyFunSuite {
       } finally q.stop()
     } finally {
       spark.catalog.dropTempView("class_stream")
+      spark.catalog.dropTempView("heal_stream")
       ()
     }
   }
