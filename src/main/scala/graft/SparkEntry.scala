@@ -239,6 +239,26 @@ object SparkEntry {
       val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.lshTopK(e, 64, 6, 3, tables = 4, maxBucket = 50)
     }),
+    "tf_ann_ivf" -> ((s, d) => {
+      // IVF-flat scale path: deterministic sampled centroids, nProbe=3,
+      // capped cells -- exact DuckDB twin incl. the cell cap
+      val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(e, 3, centroidEvery = 25, nProbe = 3, maxCell = 200)
+    }),
+    "q_embed_neardup" -> ((s, d) => {
+      // embedding-cosine near-duplicate pairs (threshold on the integer
+      // cosine); brute force at sf scale -- the 100 TB path routes through
+      // lshTopK/ivfTopK candidates instead of the cross join
+      val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      e.as("a")
+        .join(broadcast(e.as("b")), col("a.id") < col("b.id"))
+        .select(
+          col("a.id").as("id_a"),
+          col("b.id").as("id_b"),
+          Similarity.cosineX10000(col("a.vec"), col("b.vec")).as("sim_x10000")
+        )
+        .filter(col("sim_x10000") >= 9500)
+    }),
     "tf_json" -> ((s, d) => {
       // S5 surface end-to-end: per-doc reference JSON ([global, per_player],
       // skip-default, non-finite -> null), hash-compared byte-for-byte
@@ -853,6 +873,42 @@ object SparkEntry {
         |  CAST(floor(inter * 10000 / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_x10000
         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE floor(inter * 10000 / (sa.n + sb.n - inter)) >= 500""".stripMargin,
+    "tf_ann_ivf" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+        |sc AS (
+        |  SELECT e.id, c.cid,
+        |    CAST(floor(list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) * 10000) AS BIGINT) AS cscore
+        |  FROM e, c),
+        |pr AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cscore DESC, cid ASC) AS crank
+        |  FROM sc),
+        |assign AS (SELECT id, cid AS cell FROM pr WHERE crank = 1),
+        |kept AS (SELECT cell FROM (SELECT cell, count(*) AS nn FROM assign GROUP BY cell) WHERE nn <= 200),
+        |probes AS (SELECT id AS qid, cid AS cell FROM pr WHERE crank <= 3),
+        |cand AS (
+        |  SELECT p.qid, a.id AS cid
+        |  FROM probes p JOIN kept k ON p.cell = k.cell
+        |  JOIN assign a ON a.cell = p.cell AND a.id <> p.qid),
+        |s AS (
+        |  SELECT cand.qid, cand.cid,
+        |    CAST(floor(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) AS BIGINT) AS sim_x10000
+        |  FROM cand JOIN e a ON a.id = cand.qid JOIN e b ON b.id = cand.cid),
+        |r AS (
+        |  SELECT qid, cid, sim_x10000,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim_x10000 DESC, cid ASC) AS rank
+        |  FROM s)
+        |SELECT qid, cid, sim_x10000, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(floor(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) AS BIGINT) AS sim_x10000
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim_x10000 FROM s WHERE sim_x10000 >= 9500""".stripMargin,
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (

@@ -90,6 +90,69 @@ object Similarity {
       }
       .reduce(_.bitwiseOR(_))
 
+  /** IVF-flat ANN: a coarse quantizer of deterministically-sampled centroids
+    * partitions the corpus into cells; each query probes its `nProbe`
+    * nearest cells and scores EXACT cosine only against their members.
+    *
+    *  - centroids = corpus vectors with `id % centroidEvery == 0` -- a
+    *    deterministic sample any engine reproduces (no k-means float
+    *    iteration, so the DuckDB twin is exact); production tuning replaces
+    *    the sample with trained centroids without changing the plan shape.
+    *  - assignment/probing use the integer-stable fused cosine
+    *    ([[cosineX10000]]) with (score desc, cid asc) tie-breaks.
+    *  - SCALE SHAPE: the centroid table broadcasts (its size is corpus/
+    *    centroidEvery rows -- keep it thousands, not millions); assignment
+    *    is a map-side broadcast join (the IVF build cost, one pass); cell
+    *    membership is capped per cell via ONE bounded_collect
+    *    hash-aggregate ([[graft.ops.Dedup.cappedBuckets]]) so a hot cell
+    *    (near-constant embedding region) cannot straggle the probe join --
+    *    over-cap cells are dropped whole (recall knob, same contract as
+    *    [[lshTopK]]'s maxBucket); candidates come from exploding the capped
+    *    arrays, an equi-join on the cell id.
+    *
+    * Same output shape as [[bruteForceTopK]]/[[lshTopK]]. Each candidate
+    * appears exactly once (assignment is unique), so no distinct is needed. */
+  def ivfTopK(
+      df: DataFrame, // (id, vec)
+      k: Int,
+      centroidEvery: Int,
+      nProbe: Int,
+      maxCell: Int = 1000
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(
+      df.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+    )
+    val scored = df
+      .join(cents)
+      .select(col("id"), col("cid"), cosineX10000(col("vec"), col("cvec")).as("cscore"))
+    val wCent = Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)
+    val probes = scored
+      .withColumn("crank", row_number().over(wCent))
+      .filter(col("crank") <= math.max(1, nProbe))
+      .select(col("id"), col("cid").as("cell"), col("crank"))
+    val assign = probes.filter(col("crank") === 1).select(col("cell"), col("id"))
+    // capped cell membership in ONE bounded_collect pass; unlike the pair
+    // generators, a SINGLETON cell is kept (its member is a candidate for
+    // other probing queries); over-cap cells come back NULL and drop whole
+    val cells = assign
+      .groupBy("cell")
+      .agg(graft.expr.BoundedCollect.bounded_collect(col("id"), maxCell).as("__ids"))
+      .filter(col("__ids").isNotNull)
+    val cands = probes
+      .select(col("id").as("qid"), col("cell"))
+      .join(cells, Seq("cell"))
+      .select(col("qid"), explode(col("__ids")).as("cid"))
+      .filter(col("qid") =!= col("cid"))
+    val scoredPairs = cands
+      .join(df.select(col("id").as("qid"), col("vec").as("qv")), Seq("qid"))
+      .join(df.select(col("id").as("cid"), col("vec").as("cv")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosineX10000(col("qv"), col("cv")).as("sim_x10000"))
+    val w = Window.partitionBy("qid").orderBy(col("sim_x10000").desc, col("cid").asc)
+    scoredPairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Multi-table LSH ANN (L independent hash tables OR-amplified): candidates
     * are same-bucket pairs in ANY table (posexplode -> equi-join per (table,
     * bucket) -> distinct), so recall no longer collapses with one unlucky

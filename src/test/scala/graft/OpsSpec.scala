@@ -100,6 +100,32 @@ class OpsSpec extends AnyFunSuite {
     assert(tight <= lsh.size.toLong, "tight cap must not add results")
   }
 
+  test("IVF-flat ANN: good recall vs brute force, cell cap drops hot cells whole") {
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("id", "vec")
+    val bf = Similarity.bruteForceTopK(vecs, vecs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, 3, centroidEvery = 10, nProbe = 3, maxCell = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.7, s"IVF nProbe=3 recall too low: $recall")
+    // more probes -> recall monotonically non-decreasing (here: full)
+    val ivfAll = Similarity.ivfTopK(vecs, 3, centroidEvery = 10, nProbe = 6, maxCell = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.count(ivfAll.contains) >= bf.count(ivf.contains))
+    assert(bf.count(ivfAll.contains).toDouble / bf.size >= 0.99,
+      "probing every cell must recover brute-force exactly")
+    // the cell cap is real: maxCell=0 drops every cell -> no candidates
+    assert(Similarity.ivfTopK(vecs, 3, centroidEvery = 10, nProbe = 3, maxCell = 0).count() == 0L)
+    // singleton cells are candidates (unlike the pair generators): with one
+    // centroid every vector, every cell is its own singleton, and queries
+    // still find neighbors through probing other cells
+    val single = Similarity.ivfTopK(vecs, 1, centroidEvery = 1, nProbe = 2, maxCell = 10)
+    assert(single.count() > 0, "singleton cells must still produce probe candidates")
+  }
+
   test("lshCandidates: hot band bucket is bounded by maxBucket before the self-join") {
     // web-scale dedup's common pathology: a large cluster of identical
     // boilerplate docs -> every band bucket holds the whole cluster and an
