@@ -186,6 +186,15 @@ object Bench {
         val bits = math.max(6, (math.log(n / 12.0) / math.log(2)).ceil.toInt)
         graft.ops.Similarity.lshTopK(e, 64, bits, 3, tables = 4, maxBucket = 200)
       }),
+      "tf_ann_ivf" -> (() => force {
+        import org.apache.spark.sql.functions._
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        // ~sqrt(n) cells at any corpus size
+        val n = e.count()
+        val every = math.max(2, math.sqrt(n.toDouble).round.toInt)
+        graft.ops.Similarity.ivfTopK(e, 3, centroidEvery = every, nProbe = 3, maxCell = 500)
+      }),
       // production hash paths (xxhash64) vs the md5-bound oracle twins above
       "tf_simhash_fast" -> (() => force {
         import org.apache.spark.sql.functions._

@@ -51,6 +51,16 @@ object ExplainAudit {
     section("tf_ann_lsh (expect ObjectHashAggregate bounded_collect bucket cap)") {
       SparkEntry.queries("tf_ann_lsh")(spark, sfDir)
     }
+    section("tf_ann_ivf (expect BroadcastNestedLoopJoin for centroid assignment, capped cells)") {
+      SparkEntry.queries("tf_ann_ivf")(spark, sfDir)
+    }
+    section("chunked bucket pairs, cap > 2048 (expect a user-numbered Exchange spreading chunk-pair rows BEFORE the pair explode)") {
+      val ids = spark.range(0, 3000).select(lit("hot").as("k"), col("id"))
+      val buckets = ids.groupBy("k")
+        .agg(graft.expr.BoundedCollect.bounded_collect(col("id"), 10000).as("__ids"))
+        .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
+      graft.ops.Dedup.bucketPairs(buckets, directed = false, cap = 10000)
+    }
     spark.stop()
   }
 }

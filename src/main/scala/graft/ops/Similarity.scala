@@ -111,7 +111,14 @@ object Similarity {
     *    arrays, an equi-join on the cell id.
     *
     * Same output shape as [[bruteForceTopK]]/[[lshTopK]]. Each candidate
-    * appears exactly once (assignment is unique), so no distinct is needed. */
+    * appears exactly once (assignment is unique), so no distinct is needed.
+    *
+    * The centroid-scoring subtree feeds two consumers (assignment + probe
+    * lists) under one id-keyed Exchange, which exchange reuse dedups at
+    * runtime; in a real deployment the assignment IS the IVF index -- build
+    * it once, persist (or write) it, and run probe batches against the
+    * stored table, exactly like the committed route store does for the
+    * parse leg. */
   def ivfTopK(
       df: DataFrame, // (id, vec)
       k: Int,
