@@ -106,11 +106,33 @@ object Kernels {
     val pb = ByteParser.paramsFor(eventType, params)
     if (pb != null) {
       var n = pb.keys.length
+      val err = pb.error || ByteParser.typedError(eventType, pb.keys, pb.values)
+      // duplicate keys are rare: O(n^2) scan over the <=~8 short keys beats
+      // a LinkedHashMap allocation + hashing per row on the classify leg
+      var hasDup = err && {
+        var i = 0; var found = false
+        while (i < n && !found) { found = pb.keys(i).equals(U_ERR_KEY); i += 1 }
+        found
+      }
+      var i = 1
+      while (i < n && !hasDup) {
+        var j = 0
+        while (j < i && !hasDup) { hasDup = pb.keys(i).equals(pb.keys(j)); j += 1 }
+        i += 1
+      }
+      if (!hasDup) {
+        val m = n + (if (err) 1 else 0)
+        val ks = new Array[Any](m)
+        val vs = new Array[Any](m)
+        i = 0
+        while (i < n) { ks(i) = pb.keys(i); vs(i) = pb.values(i); i += 1 }
+        if (err) { ks(n) = U_ERR_KEY; vs(n) = U_ONE }
+        return new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+      }
       val keys = new java.util.LinkedHashMap[UTF8String, UTF8String](n * 2)
-      var i = 0
+      i = 0
       while (i < n) { keys.put(pb.keys(i), pb.values(i)); i += 1 }
-      if (pb.error || ByteParser.typedError(eventType, pb.keys, pb.values))
-        keys.put(U_ERR_KEY, U_ONE)
+      if (err) keys.put(U_ERR_KEY, U_ONE)
       n = keys.size()
       val ks = new Array[Any](n)
       val vs = new Array[Any](n)

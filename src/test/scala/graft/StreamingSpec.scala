@@ -40,6 +40,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("routedCounts watermark: rows >10 min behind max event time are dropped") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-stream-wm").toString
+    new java.io.File(s"$base/in").mkdirs()
+    def writeFile(name: String, lines: Seq[(String, Long, String)]): Unit = {
+      import spark.implicits._
+      val df = lines.map { case (doc, no, l) =>
+        val t = LogGen.tokenize(l)
+        graft.loggen.SeqRow(doc, no, "s", t, t.length)
+      }.toDF()
+      val tmp = s"$base/tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, java.nio.file.Paths.get(s"$base/in/$name.parquet"))
+    }
+    val P = """"A<2><[U:1:100]><Red>""""
+    def say(ts: String) = s"""04/11/2021 - $ts: $P say "m""""
+    writeFile("a", Seq(
+      ("d1", 0L, say("10:00:00")), ("d1", 1L, say("10:00:10")),
+      ("d1", 2L, say("10:00:20")), ("d1", 3L, say("11:00:00"))))
+    val counts = StreamingPipeline.routedCounts(StreamingPipeline.envelopeStream(spark, s"$base/in"))
+    val q = StreamingPipeline.memorySink(counts, "wm_counts", complete = false).start()
+    try {
+      q.processAllAvailable() // watermark after batch 1: 11:00 - 10 min = 10:50
+      // batch 2: one LATE line (10:00:30, far below the watermark -> must be
+      // dropped, its 10:00 window stays at 3) and one on-time line (11:01 ->
+      // its window updates to 2)
+      writeFile("b", Seq(("d2", 0L, say("10:00:30")), ("d2", 1L, say("11:01:00"))))
+      q.processAllAvailable()
+      val rows = spark.sql("select window.start, n from wm_counts").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1)))
+      val early = rows.filter(_._1 == "2021-04-11T10:00:00Z").map(_._2)
+      assert(early.nonEmpty && early.max == 3, s"late row must not update its window: ${rows.toSeq}")
+      val eleven = rows.filter(_._1 == "2021-04-11T11:00:00Z").map(_._2)
+      assert(eleven.nonEmpty && eleven.max == 2, s"on-time row must update its window: ${rows.toSeq}")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("wm_counts")
+      ()
+    }
+  }
+
   test("stateful build counts via mapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     // enough docs that at least one lobby has a medic emitting
