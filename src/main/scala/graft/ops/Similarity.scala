@@ -160,6 +160,65 @@ object Similarity {
     scoredPairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Build-once IVF index on disk: `dir/centroids` (the coarse quantizer)
+    * and `dir/cells` -- member vectors written PARTITIONED BY cell, with the
+    * cell cap enforced at build time (an index property, like [[ivfTopK]]'s
+    * maxCell: over-cap cells are dropped whole). This is the 100 TB shape:
+    * the assignment job runs once, and every probe batch reads only its
+    * probed cells' partitions ([[ivfTopKFromStore]]) -- the exact analogue
+    * of the committed route store for the parse leg. The repartition before
+    * `partitionBy` keeps each cell in few files (no tasks x cells tiny-file
+    * explosion). */
+  def writeIvfIndex(df: DataFrame, dir: String, centroidEvery: Int, maxCell: Int = 1000): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = df
+      .filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val wCent = Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)
+    val assign = df
+      .join(broadcast(cents))
+      .select(col("id"), col("vec"), col("cid"), cosineX10000(col("vec"), col("cvec")).as("cscore"))
+      .withColumn("crank", row_number().over(wCent))
+      .filter(col("crank") === 1)
+      .select(col("cid").as("cell"), col("id"), col("vec"))
+    val kept = assign
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("__n") <= maxCell)
+      .drop("__n")
+    kept.repartition(col("cell")).write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Probe a [[writeIvfIndex]] index: queries score the (broadcast)
+    * centroids, probe their nProbe nearest cells, and the member scan joins
+    * on the PARTITION column `cell` -- dynamic partition pruning reads only
+    * the probed cells at scale. Value-identical to [[ivfTopK]] with the same
+    * parameters (differential-tested). */
+  def ivfTopKFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame, // (id, vec)
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val probes = queries
+      .join(cents)
+      .select(col("id").as("qid"), col("vec").as("qv"), col("cid"), cosineX10000(col("vec"), col("cvec")).as("cscore"))
+      .withColumn("crank", row_number().over(Window.partitionBy("qid").orderBy(col("cscore").desc, col("cid").asc)))
+      .filter(col("crank") <= math.max(1, nProbe))
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val members = spark.read.parquet(s"$dir/cells")
+    val w = Window.partitionBy("qid").orderBy(col("sim_x10000").desc, col("cid").asc)
+    probes
+      .join(members, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("cid"), cosineX10000(col("qv"), col("vec")).as("sim_x10000"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Multi-table LSH ANN (L independent hash tables OR-amplified): candidates
     * are same-bucket pairs in ANY table (posexplode -> equi-join per (table,
     * bucket) -> distinct), so recall no longer collapses with one unlucky

@@ -126,6 +126,31 @@ class OpsSpec extends AnyFunSuite {
     assert(single.count() > 0, "singleton cells must still produce probe candidates")
   }
 
+  test("IVF store: build-once index probes identically to the inline operator") {
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    try {
+      Similarity.writeIvfIndex(vecs, dir, centroidEvery = 10, maxCell = 60)
+      // the on-disk layout IS cell-partitioned (the partition-pruning shape)
+      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length >= 2, "index must be partitioned by cell")
+      val fromStore = Similarity.ivfTopKFromStore(spark, dir, vecs, 3, nProbe = 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Long]("sim_x10000"))).toSet
+      val inline = Similarity.ivfTopK(vecs, 3, centroidEvery = 10, nProbe = 3, maxCell = 60)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Long]("sim_x10000"))).toSet
+      assert(fromStore == inline, "store probe must equal the inline operator")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("lshCandidates: hot band bucket is bounded by maxBucket before the self-join") {
     // web-scale dedup's common pathology: a large cluster of identical
     // boilerplate docs -> every band bucket holds the whole cluster and an
