@@ -227,7 +227,13 @@ object Bench {
         val n = big.count()
         try pipelineOnce(spark, big)
         catch { case _: Throwable => } // warm partitions/codegen
-        val raw = Seq(timed(pipelineOnce(spark, big)), timed(pipelineOnce(spark, big)))
+        // 3 samples: with only 2, one contended sample makes the min itself
+        // noisy (the host's documented 3x variance band)
+        val raw = Seq(
+          timed(pipelineOnce(spark, big)),
+          timed(pipelineOnce(spark, big)),
+          timed(pipelineOnce(spark, big))
+        )
         big.unpersist()
         (n, raw)
       } catch { case _: Throwable => (0L, Seq(-1.0)) }
