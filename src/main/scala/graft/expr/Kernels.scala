@@ -198,13 +198,14 @@ object Kernels {
   // ---- subject ids -------------------------------------------------------
 
   def subjectId(kind: Byte, subject: UTF8String): Long =
-    Steam.subjectId(kind, if (subject == null) null else subject.toString)
+    if (subject == null) Steam.subjectId(kind, null)
+    else Steam.subjectIdU(kind, subject)
 
   def againstSubjectId(raw: UTF8String): java.lang.Long =
-    if (raw == null) null else java.lang.Long.valueOf(Steam.againstSubjectId(raw.toString))
+    if (raw == null) null else java.lang.Long.valueOf(Steam.againstSubjectIdU(raw))
 
   def playerSubjectId(raw: UTF8String): java.lang.Long =
-    if (raw == null) null else java.lang.Long.valueOf(Steam.playerSubjectId(raw.toString))
+    if (raw == null) null else java.lang.Long.valueOf(Steam.playerSubjectIdU(raw))
 
   /** struct(name string, user_id string, steam string, team string); null on
     * malformed split. */

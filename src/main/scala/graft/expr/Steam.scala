@@ -172,6 +172,70 @@ object Steam {
     else playerSubjectId(raw)
   }
 
+  // ---- byte fast paths (zero-copy kernels) --------------------------------
+  //
+  // The hot classify leg calls subject_id / against_subject_id once per row;
+  // the byte fast path resolves the overwhelmingly common shapes without
+  // decoding the subject to a String: all the structural delimiters are
+  // ASCII (which UTF-8 guarantees never appear inside multibyte sequences),
+  // so the rightmost-']'/rightmost-':' scan finds the same occurrences as
+  // the char version and the digits between are ASCII -- when the fast path
+  // succeeds the result is IDENTICAL by construction. Any other shape falls
+  // back to the String functions (rare: malformed subjects, steam2 text).
+
+  private def parseU32Bytes(b: Array[Byte], from: Int, until: Int): Long = {
+    val len = until - from
+    if (len <= 0 || len > 10) return -1L
+    var i = from
+    var v = 0L
+    while (i < until) {
+      val c = b(i)
+      if (c < '0' || c > '9') return -1L
+      v = v * 10 + (c - '0')
+      if (v > 0xffffffffL) return -1L
+      i += 1
+    }
+    v
+  }
+
+  /** Byte twin of [[playerSubjectId]]'s fast path; falls back for the rest. */
+  def playerSubjectIdU(raw: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = raw.getBytes
+    var e = b.length - 1
+    while (e >= 0 && b(e) != ']') e -= 1
+    if (e >= 0) {
+      var s = e - 1
+      while (s >= 0 && b(s) != ':') s -= 1
+      if (s >= 0) {
+        val acct = parseU32Bytes(b, s + 1, e)
+        if (acct >= 0) return (K_PLAYER << 32) | acct
+      }
+    }
+    playerSubjectId(raw.toString)
+  }
+
+  private val U_RED = org.apache.spark.unsafe.types.UTF8String.fromString("Red")
+  private val U_BLUE = org.apache.spark.unsafe.types.UTF8String.fromString("Blue")
+
+  def teamCodeU(team: org.apache.spark.unsafe.types.UTF8String): Long =
+    if (team.equals(U_RED)) 0L else if (team.equals(U_BLUE)) 1L else 2L
+
+  def subjectIdU(kind: Byte, subject: org.apache.spark.unsafe.types.UTF8String): Long = kind match {
+    case LineParser.KIND_PLAYER  => playerSubjectIdU(subject)
+    case LineParser.KIND_TEAM    => (K_TEAM << 32) | teamCodeU(subject)
+    case LineParser.KIND_SYSTEM  => K_SYSTEM << 32
+    case LineParser.KIND_CONSOLE => K_CONSOLE << 32
+    case _                       => K_SYSTEM << 32
+  }
+
+  /** Byte twin of [[againstSubjectId]] ("le>" suffix is ASCII-safe). */
+  def againstSubjectIdU(raw: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = raw.getBytes
+    val n = b.length
+    if (n >= 3 && b(n - 3) == 'l' && b(n - 2) == 'e' && b(n - 1) == '>') K_CONSOLE << 32
+    else playerSubjectIdU(raw)
+  }
+
   /** Steam account id (u32) if the packed id is a Player, else -1. */
   def accountOf(packed: Long): Long =
     if (packedKind(packed) == K_PLAYER.toInt) packedValue(packed) else -1L

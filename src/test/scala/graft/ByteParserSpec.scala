@@ -28,6 +28,12 @@ class ByteParserSpec extends AnyFunSuite {
       assert(b.params.toString == s.params, s"params: $line")
       val ep = LineParser.dateEpoch(s.date)
       assert(b.ts == ep, s"ts: $line")
+      // subject-id byte fast path must agree with the String path
+      assert(
+        graft.expr.Steam.subjectIdU(s.kind, UTF8String.fromString(if (s.subject == null) "" else s.subject)) ==
+          graft.expr.Steam.subjectId(s.kind, if (s.subject == null) "" else s.subject),
+        s"subjectId: $line"
+      )
       diffParams(s.eventType, s.params)
     }
     true
@@ -44,6 +50,13 @@ class ByteParserSpec extends AnyFunSuite {
     val st = LineParser.typedError(ty, s.keys, s.values)
     val bt = ByteParser.typedError(UTF8String.fromString(ty), b.keys, b.values)
     assert(bt == st, s"typedError: $ty | $params")
+    // against-style subject values: byte fast path == String path
+    for ((k, v) <- s.keys.zip(s.values) if k == "against" || k == "_target" || k == "objectowner")
+      assert(
+        graft.expr.Steam.againstSubjectIdU(UTF8String.fromString(v)) ==
+          graft.expr.Steam.againstSubjectId(v),
+        s"againstSubjectId: $v"
+      )
   }
 
   test("reference vectors and quirk lines agree byte-for-byte") {
