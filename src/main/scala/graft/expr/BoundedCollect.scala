@@ -41,9 +41,11 @@ case class BoundedCollect(
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+    case s: StructType if s.fields.nonEmpty && s.fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess // all-long structs (e.g. (id, size) pairs)
     case t =>
       TypeCheckResult.TypeCheckFailure(
-        s"bounded_collect supports long/int/string elements, got ${t.simpleString}"
+        s"bounded_collect supports long/int/string/all-long-struct elements, got ${t.simpleString}"
       )
   }
 
@@ -66,8 +68,9 @@ case class BoundedCollect(
         if (buf.items.length >= max) markOverflow(buf)
         else
           buf.items += (v match {
-            case s: UTF8String => s.clone() // unsafe rows are reused buffers
-            case other         => other
+            case s: UTF8String  => s.clone() // unsafe rows are reused buffers
+            case r: InternalRow => r.copy() // ditto for struct-backed rows
+            case other          => other
           })
       }
     }
@@ -98,6 +101,13 @@ case class BoundedCollect(
           out.writeInt(b.length)
           out.write(b)
         }
+      case s: StructType =>
+        val w = s.fields.length
+        buf.items.foreach { v =>
+          val r = v.asInstanceOf[InternalRow]
+          var i = 0
+          while (i < w) { out.writeLong(r.getLong(i)); i += 1 }
+        }
       case t => throw new IllegalStateException(s"unsupported element type $t")
     }
     out.flush()
@@ -118,6 +128,14 @@ case class BoundedCollect(
           val b = new Array[Byte](len)
           in.readFully(b)
           items += UTF8String.fromBytes(b)
+        }
+      case s: StructType =>
+        val w = s.fields.length
+        (0 until n).foreach { _ =>
+          val vals = new Array[Any](w)
+          var i = 0
+          while (i < w) { vals(i) = in.readLong(); i += 1 }
+          items += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
         }
       case t => throw new IllegalStateException(s"unsupported element type $t")
     }

@@ -284,36 +284,50 @@ object Dedup {
     * through ubiquitous shingles disappear, and (b) pairs that also share a
     * dropped shingle have their intersection undercounted (sizes stay exact,
     * so their jaccard is understated). Set maxDf above the df of any shingle
-    * whose loss matters; Int.MaxValue recovers exact jaccard. */
+    * whose loss matters; Int.MaxValue recovers exact jaccard.
+    *
+    * `id` must be an integral column (the one-pass formulation packs it into
+    * an all-long struct for the bounded collect). */
   def ngramJaccardPairs(
       df: DataFrame,
       id: Column,
       shingleCol: Column,
       maxDf: Int = 10000
   ): DataFrame = {
-    val ex = df
-      .select(id.as("id"), explode(array_distinct(shingleCol)).as("sh"))
-    // per-row distinct-shingle count: no explode + re-aggregate subtree (the
-    // join replays this plan once per side, so keep it a bare scan+project)
-    val sizes = df.select(id.as("id"), size(array_distinct(shingleCol)).as("n"))
+    // ONE pass over the corpus: each exploded shingle row carries the doc's
+    // distinct-shingle count packed next to its id, the bounded collect
+    // groups (id, n) structs per shingle, and pairs inherit both sizes --
+    // no size-lookup joins, so the expensive shingle subtree runs ONCE
+    // instead of three times (buckets + one replay per join side). The
+    // two-step select keeps array_distinct single-copy (CollapseProject
+    // never inlines non-cheap multi-referenced producers).
+    val withAd = df.select(id.as("id"), array_distinct(shingleCol).as("__ad"))
+    val ex = withAd.select(
+      struct(col("id"), size(col("__ad")).cast("long").as("n")).as("id"),
+      explode(col("__ad")).as("sh")
+    )
     // df cap as a bounded collect per shingle ([[cappedBuckets]]): a shingle
     // with df > maxDf comes back NULL and is dropped -- exactly the cap
     // semantics -- in ONE aggregate pass with O(maxDf) memory per shingle.
     // No count-over-window (full sort exchange + df=10M stop-word shingle in
     // one straggler task) and no self-join on sh (which recomputes the
     // exploded table per side); intersections count pairs from the arrays.
-    val inter = bucketPairs(cappedBuckets(ex, Seq("sh"), "id", maxDf), directed = false, maxDf)
-      .groupBy(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
+    // Pair normalization orders the (id, n) structs by id (ids are distinct
+    // within a bucket), identical to the bare-id ordering.
+    bucketPairs(cappedBuckets(ex, Seq("sh"), "id", maxDf), directed = false, maxDf)
+      .groupBy(
+        col("pair_a.id").as("id_a"),
+        col("pair_a.n").as("na"),
+        col("pair_b.id").as("id_b"),
+        col("pair_b.n").as("nb")
+      )
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
       .select(
         col("id_a"),
         col("id_b"),
         col("inter"),
-        (col("sa.n") + col("sb.n") - col("inter")).as("uni"),
-        floor(col("inter") * 10000L / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard_x10000")
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        floor(col("inter") * 10000L / (col("na") + col("nb") - col("inter"))).as("jaccard_x10000")
       )
   }
 }
