@@ -53,16 +53,25 @@ object Lobby {
       .otherwise("number too large to fit in target type")
   }
 
-  /** Leader "name (steam64)" -> struct(name, steam64); null on malformed. */
+  /** Leader "name (steam64)" -> struct(name, steam64); null on malformed.
+    *
+    * Rust u64 FromStr semantics (lobbysettings.rs:58-70): optional '+',
+    * ASCII digits with leading zeros legal, any digit count while the VALUE
+    * fits. Residual divergence (documented, NOTES): values in
+    * (Long.MaxValue, u64::MAX] are unrepresentable in LongType and reject
+    * here where Rust accepts -- real steam64s are ~7.6e16. */
   private def leaderParse(v: Column): Column = {
-    // rsplit_once(" (") + trailing-')' strip + strict u64
+    // rsplit_once(" (") + trailing-')' strip (trim_end_matches strips ALL)
     val idx = length(v) - locate("( ", reverse(v)) // 1-based pos of last " ("
     val name = when(locate("( ", reverse(v)) > 0, substring(v, lit(1), idx - lit(1)))
     val rest = regexp_replace(substring(v, idx + lit(2), lit(1000000)), "\\)+$", "")
-    // {1,18} keeps the cast inside signed-long range (real steam64 ~7.6e16)
+    val digits = regexp_replace(rest, "^\\+", "")
+    val trimmed = regexp_replace(digits, "^0+(?=[0-9])", "")
+    val inLongRange = length(trimmed) <= 18 ||
+      (length(trimmed) === 19 && trimmed <= "9223372036854775807")
     when(
-      name.isNotNull && rest.rlike("^[0-9]{1,18}$"),
-      struct(name.as("name"), rest.cast("long").as("steam64"))
+      name.isNotNull && digits.rlike("^[0-9]+$") && inLongRange,
+      struct(name.as("name"), trimmed.cast("long").as("steam64"))
     )
   }
 

@@ -351,13 +351,18 @@ object SimExpectations {
   }
 
   private def leaderParse(v: String): Option[(String, Long)] = {
+    // Rust u64 FromStr: '+' prefix, leading zeros, value-based range (twin
+    // of Lobby.leaderParse incl. the documented > Long.MaxValue residual)
     val p = v.lastIndexOf(" (")
     if (p < 0) return None
     val name = v.substring(0, p)
-    val rest = v.substring(p + 2).replaceAll("\\)+$", "")
-    if (rest.nonEmpty && rest.length <= 18 && rest.forall(c => c >= '0' && c <= '9'))
-      Some((name, java.lang.Long.parseLong(rest)))
-    else None
+    val digits = v.substring(p + 2).replaceAll("\\)+$", "").stripPrefix("+")
+    if (digits.nonEmpty && digits.forall(c => c >= '0' && c <= '9')) {
+      val trimmed = digits.dropWhile(_ == '0') match { case "" => "0"; case t => t }
+      val inRange = trimmed.length <= 18 ||
+        (trimmed.length == 19 && trimmed <= "9223372036854775807")
+      if (inRange) Some((name, java.lang.Long.parseLong(trimmed))) else None
+    } else None
   }
 
   // ---- launch-date twin of Lobby.dateParse/dateErr ------------------------

@@ -165,6 +165,26 @@ class LobbySpec extends AnyFunSuite {
     assert(dateOf("Sun Apr 11 23:59:60 CEST 2021").toInstant.toString == "2021-04-11T21:59:59Z")
   }
 
+  test("leader: leading zeros and '+' are legal u64 (Rust FromStr semantics)") {
+    def leaderOf(v: String): (Boolean, Any) = {
+      val lines = Seq(say("TF2Center Lobby #42 | x"), say(s"Leader: $v"), say("Map: m"))
+      val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("dl", lines)))))
+      val r = Lobby.lobbySettings(routed).collect()(0)
+      val exp = graft.sim.SimExpectations.lobby("dl", lines.toIndexedSeq).get
+      if (r.getBoolean(1)) {
+        val s64 = r.getStruct(4).getStruct(1).getLong(1)
+        assert(exp.ok == 1L && exp.leader_steam64 == s64, v)
+        (true, s64)
+      } else {
+        assert(exp.ok == 0L, v)
+        (false, r.getString(2))
+      }
+    }
+    assert(leaderOf("b4rney (0076561198055036243)") == ((true, 76561198055036243L)))
+    assert(leaderOf("b4rney (+76561198055036243)") == ((true, 76561198055036243L)))
+    assert(leaderOf("b4rney (x123)") == ((false, "malformed_leader")))
+  }
+
   test("lobby id: leading zeros are legal u32 (Rust FromStr semantics)") {
     val lines = Seq(say("TF2Center Lobby #0001148166 | x"), say("Map: foo"))
     val routed = TfPipeline.routed(TfPipeline.envelope(toDf(Seq(("d9", lines)))))
