@@ -13,6 +13,43 @@ object Bench {
   def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** (1m, 5m, 15m) host load from /proc/loadavg -- recorded in the bench
+    * JSON so a contention-contaminated artifact is machine-detectable
+    * (round-4's artifact needed a judge re-run to adjudicate). */
+  def loadavg(): (Double, Double, Double) =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")
+      (parts(0).toDouble, parts(1).toDouble, parts(2).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+
+  /** Cumulative hypervisor steal ticks (field 8 of /proc/stat's cpu line):
+    * a nonzero delta over the run means a co-tenant took CPU from THIS vm
+    * even while our own load looked sane. */
+  def stealTicks(): Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = cpu.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case _: Throwable => -1L }
+
+  /** Self-defense against starting into a co-tenant load window: wait (up
+    * to SPARK_GRAFT_LOAD_WAIT_S, default 180 s) for the 1-min load to drop
+    * below SPARK_GRAFT_LOAD_MAX (default 4.0) before the timed region.
+    * Returns true when the host was quiet at the end of the wait. */
+  def waitQuiet(): Boolean = {
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "180").toInt
+    val deadline = System.nanoTime() + maxWaitS * 1000000000L
+    var l = loadavg()._1
+    while (l >= maxLoad && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] host 1-min load $l%.2f >= $maxLoad%.1f, waiting for a quiet window")
+      Thread.sleep(10000)
+      l = loadavg()._1
+    }
+    l < maxLoad
+  }
+
   /** Session at a given parallelism. Default master `local[cpus]`; set
     * SPARK_GRAFT_EXECUTORS=K to use `local-cluster[K, cpus/K, mem]` instead --
     * K SEPARATE executor JVMs, the faithful sandbox stand-in for the north
@@ -104,6 +141,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val bigDocs = sys.env.getOrElse("SPARK_GRAFT_BIG_DOCS", "8000").toInt
+    val quietAtStart = waitQuiet()
+    val loadBefore = loadavg()
+    val stealBefore = stealTicks()
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -176,6 +216,8 @@ object Bench {
       "q_cosine_topk" -> (() => force(SparkEntry.queries("q_cosine_topk")(spark, sfDir))),
       "q_dedup_exact" -> (() => force(SparkEntry.queries("q_dedup_exact")(spark, sfDir))),
       "q_langid" -> (() => force(SparkEntry.queries("q_langid")(spark, sfDir))),
+      "q_embed_neardup" -> (() => force(SparkEntry.queries("q_embed_neardup")(spark, sfDir))),
+      "q_embed_neardup_ann" -> (() => force(SparkEntry.queries("q_embed_neardup_ann")(spark, sfDir))),
       "tf_ann_lsh" -> (() => force {
         import org.apache.spark.sql.functions._
         // size-aware parametrization (the sf-independent oracle query fixes
@@ -239,6 +281,41 @@ object Bench {
       } catch { case _: Throwable => (0L, Seq(-1.0)) }
     val bigSec = bigRaw.min
 
+    // ---- ANN quality telemetry (outside the timed region): recall of the
+    // bench-parametrized ANN top-k queries vs exact brute force, and of the
+    // IVF near-dup pair harvest vs the exact cross-join pair set, on the
+    // bench corpus (VERDICT r4 item 5: parameters only pinned at unit scale
+    // before this; the artifact now carries the corpus-scale numbers)
+    val annRecall: Seq[(String, Double)] =
+      try {
+        import org.apache.spark.sql.functions._
+        val e = spark.read
+          .parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .persist()
+        val n = e.count()
+        def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+          df.select(col(a), col(b)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+          if (truth.isEmpty) 1.0 else truth.count(got.contains).toDouble / truth.size
+        val bf = pairSet(graft.ops.Similarity.bruteForceTopK(e, e, 3), "qid", "cid")
+        val bits = math.max(6, (math.log(n / 12.0) / math.log(2)).ceil.toInt)
+        val lsh = pairSet(
+          graft.ops.Similarity.lshTopK(e, 64, bits, 3, tables = 4, maxBucket = 200), "qid", "cid")
+        val every = math.max(2, math.sqrt(n.toDouble).round.toInt)
+        val ivf = pairSet(
+          graft.ops.Similarity.ivfTopK(e, 3, centroidEvery = every, nProbe = 3, maxCell = 500),
+          "qid", "cid")
+        val ndTruth = pairSet(SparkEntry.queries("q_embed_neardup")(spark, sfDir), "id_a", "id_b")
+        val ndAnn = pairSet(SparkEntry.queries("q_embed_neardup_ann")(spark, sfDir), "id_a", "id_b")
+        e.unpersist()
+        Seq(
+          "tf_ann_lsh" -> recall(lsh, bf),
+          "tf_ann_ivf" -> recall(ivf, bf),
+          "q_embed_neardup_ann" -> recall(ndAnn, ndTruth)
+        )
+      } catch { case _: Throwable => Seq.empty }
+
     def mn(xs: Seq[Double]): Double = xs.min
     def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     def jnum(v: Double): String = f"$v%.3f"
@@ -264,8 +341,16 @@ object Bench {
     val thrSmall = if (pipeSec > 0) nRows / pipeSec else -1.0
     val thr = if (bigSec > 0) bigRows / bigSec else thrSmall
     val bigRawJson = bigRaw.map(jnum).mkString("[", ",", "]")
+    val loadAfter = loadavg()
+    val stealDelta =
+      if (stealBefore >= 0) { val s = stealTicks(); if (s >= 0) s - stealBefore else -1L } else -1L
+    def jload(l: (Double, Double, Double)): String =
+      f"[${l._1}%.2f,${l._2}%.2f,${l._3}%.2f]"
+    val recallJson = annRecall
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_median":$qmed%s,"queries_raw":$qraw%s,"errors":$errJson%s,"headline":"min","sf":"$sfDir%s","rows":$nRows%d,"cpus":"$cpus%s","pipeline_seq_per_sec":$thr%.1f,"pipeline_seq_per_sec_small":$thrSmall%.1f,"big_rows":$bigRows%d,"big_sec":$bigSec%.3f,"big_raw":$bigRawJson%s,"iters":$iters%d}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_median":$qmed%s,"queries_raw":$qraw%s,"errors":$errJson%s,"headline":"min","sf":"$sfDir%s","rows":$nRows%d,"cpus":"$cpus%s","pipeline_seq_per_sec":$thr%.1f,"pipeline_seq_per_sec_small":$thrSmall%.1f,"big_rows":$bigRows%d,"big_sec":$bigSec%.3f,"big_raw":$bigRawJson%s,"iters":$iters%d,"ann_recall":$recallJson%s,"load_before":${jload(loadBefore)}%s,"load_after":${jload(loadAfter)}%s,"steal_ticks_delta":$stealDelta%d,"quiet_at_start":$quietAtStart%b}"""
     )
     spark.stop()
   }

@@ -21,6 +21,8 @@ object Scaling {
     val lines = sys.env.getOrElse("SPARK_GRAFT_LINES", "500").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
 
+    val quiet = Bench.waitQuiet()
+    val loadBefore = Bench.loadavg()._1
     val spark = Bench.session(cpus.toString)
     spark.sparkContext.setLogLevel("WARN")
     val input = LogGen.generate(spark, docs, lines, 42L).toDF().persist()
@@ -45,7 +47,9 @@ object Scaling {
     val best = sorted(sorted.length / 2) // median: robust to warmup + GC bursts
     val thr = n / best
     println(
-      f"""SCALING {"rows":$n%d,"cpus":$cpus%d,"sec":$best%.3f,"thr":$thr%.1f,"times":[${times.map(t => f"$t%.2f").mkString(",")}]}"""
+      f"""SCALING {"rows":$n%d,"cpus":$cpus%d,"sec":$best%.3f,"thr":$thr%.1f,"times":[${times
+          .map(t => f"$t%.2f")
+          .mkString(",")}],"load_before":$loadBefore%.2f,"quiet_at_start":$quiet%b}"""
     )
     spark.stop()
   }

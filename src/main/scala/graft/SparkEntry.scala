@@ -247,8 +247,14 @@ object SparkEntry {
     }),
     "q_embed_neardup" -> ((s, d) => {
       // embedding-cosine near-duplicate pairs (threshold on the integer
-      // cosine); brute force at sf scale -- the 100 TB path routes through
-      // lshTopK/ivfTopK candidates instead of the cross join
+      // cosine); brute force at sf scale -- the 100 TB path is
+      // q_embed_neardup_ann below (same threshold, IVF candidates).
+      // Threshold 4200: the synthetic embeddings are near-orthogonal random
+      // vectors (max pairwise cosine 0.48/0.51/0.60 at sf0.001/0.01/0.1), so
+      // a true near-dup cut like 0.95 matches NOTHING at any sf and the gate
+      // would compare empty sets; 0.42 sits at the ~99.98th percentile of
+      // the pair-score distribution and returns 27/34/441 rows -- the
+      // threshold+pair logic is actually exercised at every sf
       val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
       e.as("a")
         .join(broadcast(e.as("b")), col("a.id") < col("b.id"))
@@ -257,7 +263,18 @@ object SparkEntry {
           col("b.id").as("id_b"),
           Similarity.cosineX10000(col("a.vec"), col("b.vec")).as("sim_x10000")
         )
-        .filter(col("sim_x10000") >= 9500)
+        .filter(col("sim_x10000") >= 4200)
+    }),
+    "q_embed_neardup_ann" -> ((s, d) => {
+      // the SCALE shape of q_embed_neardup: identical threshold + scoring,
+      // but candidate pairs come from IVF probed cells (ivfNearDupPairs)
+      // instead of the n^2/2 cross join; gated against an exact DuckDB twin
+      // of the whole candidate pipeline. On this corpus (no true near-dups,
+      // see q_embed_neardup) nProbe=8 recovers most-but-not-all threshold
+      // pairs -- the recall floor on PLANTED cosine>=0.95 duplicates is 1.0
+      // (OpsSpec) and bench telemetry reports the corpus recall per round
+      val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfNearDupPairs(e, 4200L, centroidEvery = 25, nProbe = 8, maxCell = 200)
     }),
     "tf_json" -> ((s, d) => {
       // S5 surface end-to-end: per-doc reference JSON ([global, per_player],
@@ -908,7 +925,31 @@ object SparkEntry {
         |    CAST(floor(list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) AS BIGINT) AS sim_x10000
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, sim_x10000 FROM s WHERE sim_x10000 >= 9500""".stripMargin,
+        |SELECT id_a, id_b, sim_x10000 FROM s WHERE sim_x10000 >= 4200""".stripMargin,
+    "q_embed_neardup_ann" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+        |sc AS (
+        |  SELECT e.id, c.cid,
+        |    CAST(floor(list_dot_product(e.v, c.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) * 10000) AS BIGINT) AS cscore
+        |  FROM e, c),
+        |pr AS (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cscore DESC, cid ASC) AS crank
+        |  FROM sc),
+        |assign AS (SELECT id, cid AS cell FROM pr WHERE crank = 1),
+        |kept AS (SELECT cell FROM (SELECT cell, count(*) AS nn FROM assign GROUP BY cell) WHERE nn <= 200),
+        |probes AS (SELECT id, cid AS cell FROM pr WHERE crank <= 8),
+        |cand AS (
+        |  SELECT DISTINCT least(p.id, a.id) AS id_a, greatest(p.id, a.id) AS id_b
+        |  FROM probes p JOIN kept k ON p.cell = k.cell
+        |  JOIN assign a ON a.cell = p.cell AND a.id <> p.id)
+        |SELECT cand.id_a, cand.id_b,
+        |  CAST(floor(list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) * 10000) AS BIGINT) AS sim_x10000
+        |FROM cand JOIN e x ON x.id = cand.id_a JOIN e y ON y.id = cand.id_b
+        |WHERE floor(list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) * 10000) >= 4200""".stripMargin,
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (

@@ -183,7 +183,12 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name subset (fast local
+    // iteration on one query; the driver always runs the full set)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)       => (s, o, None)
+      case Array(s, o, subset) => (s, o, Some(subset.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
@@ -194,10 +199,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (only.forall(_.contains(name))) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
 
@@ -205,8 +212,10 @@ object Verify {
     // subdirectories as queries, and the expectation dump must not show up
     // as a 36th pseudo-query with no oracle
     val expDir = new java.io.File(outDir).getAbsolutePath.stripSuffix("/") + "_expected"
-    try writeExpectations(spark, sfDir, expDir)
-    catch { case e: Throwable => System.err.println(s"[verify] expectations failed: ${e.getMessage}") }
+    if (only.forall(_.exists(_.startsWith("tf_")))) {
+      try writeExpectations(spark, sfDir, expDir)
+      catch { case e: Throwable => System.err.println(s"[verify] expectations failed: ${e.getMessage}") }
+    }
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

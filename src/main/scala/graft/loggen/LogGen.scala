@@ -231,7 +231,7 @@ object LogGen {
           case 5 => emit(s""""${p.raw}" triggered "shot_fired" (weapon "scattergun")""")
         }
       } else if (r < 0.94) { // junk / edge lines
-        rng.nextInt(11) match {
+        rng.nextInt(13) match {
           case 0 => out += "short junk" // envelope Skip (<24 chars)
           case 1 => emit(s""""${anyPlayer().raw}" triggered "mysterious_event" (x "1")""") // unknown
           case 2 => emit(s"""World triggered "Game_Paused"""")
@@ -277,6 +277,25 @@ object LogGen {
             t += 5
             // unhandled event: survives routing, no module-stats impact
             emit(s""""${anyPlayer().raw}" picked up item "medkit_small"""")
+          case 11 =>
+            // classstats self-kill edge (classstats.rs:81-88): an attacker
+            // with NO prior entry (never spawned / never a kill target)
+            // self-kills during an active round -- the reference reads the
+            // attacker entry BEFORE data_mut creates the target entry, so
+            // the kill counts (vs the just-created default class) but the
+            // death does NOT (batch/stream/sim must all agree)
+            if (!roundOpen) { emit("""World triggered "Round_Start""""); roundOpen = true }
+            val g = Player(s"ghost_${rng.nextInt(100)}", 90 + rng.nextInt(9),
+              999000000L + rng.nextInt(1000), "Red", "Scout")
+            emit(s""""${g.raw}" killed "${g.raw}" with "world" (attacker_position "${pos()}") (victim_position "${pos()}")""")
+          case 12 =>
+            // same edge, non-self variant: unspawned attacker kills an
+            // existing player -- kill counts by the victim's class, the
+            // victim's death is NOT counted (attacker has no entry)
+            if (!roundOpen) { emit("""World triggered "Round_Start""""); roundOpen = true }
+            val g = Player(s"ghost_${rng.nextInt(100)}", 90 + rng.nextInt(9),
+              999100000L + rng.nextInt(1000), "Blue", "Scout")
+            emit(s""""${g.raw}" killed "${anyPlayer().raw}" with "world" (attacker_position "${pos()}") (victim_position "${pos()}")""")
         }
       } else { // disconnect/reconnect churn
         val p = anyPlayer()

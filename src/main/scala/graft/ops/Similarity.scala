@@ -125,12 +125,25 @@ object Similarity {
       centroidEvery: Int,
       nProbe: Int,
       maxCell: Int = 1000
+  ): DataFrame =
+    ivfTopKWithCentroids(
+      df,
+      df.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+        .select(col("id").as("cid"), col("vec").as("cvec")),
+      k, nProbe, maxCell)
+
+  /** [[ivfTopK]] with an arbitrary coarse quantizer `cents` (cid, cvec) --
+    * the deterministic sample (oracle twin) and the k-means-trained variant
+    * ([[trainCentroids]]) share this one probe pipeline. */
+  def ivfTopKWithCentroids(
+      df: DataFrame, // (id, vec)
+      cents0: DataFrame, // (cid, cvec)
+      k: Int,
+      nProbe: Int,
+      maxCell: Int = 1000
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(
-      df.filter(pmod(col("id"), lit(centroidEvery)) === 0)
-        .select(col("id").as("cid"), col("vec").as("cvec"))
-    )
+    val cents = broadcast(cents0)
     val scored = df
       .join(cents)
       .select(col("id"), col("cid"), cosineX10000(col("vec"), col("cvec")).as("cscore"))
@@ -158,6 +171,85 @@ object Similarity {
       .select(col("qid"), col("cid"), cosineX10000(col("qv"), col("cv")).as("sim_x10000"))
     val w = Window.partitionBy("qid").orderBy(col("sim_x10000").desc, col("cid").asc)
     scoredPairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** K-means-trained coarse quantizer for IVF: returns (cid, cvec), cid in
+    * 0..k-1, cvec float like the corpus vectors. Unlike the deterministic
+    * modulo sample (exactly reproducible in any engine, hence the DuckDB
+    * oracle twin), training iterates in floats -- this is the QUALITY
+    * variant, not an oracle one: centroids sit in the data's density modes,
+    * cells balance better, and recall at equal nProbe improves (OpsSpec pins
+    * the comparison). 100 TB shape: fit on a SAMPLE (cost O(n*k*iters) --
+    * pass df.sample(...)), then assign the full corpus through the same
+    * broadcast join as the sampled quantizer; k centroids stay driver-sized
+    * (thousands), exactly like the sampled list. */
+  def trainCentroids(df: DataFrame, k: Int, maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.select(array_to_vector(col("vec").cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(k).setMaxIter(maxIter).setSeed(seed).setFeaturesCol("features")
+      .fit(feat)
+    val spark = df.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cid", "cvec")
+  }
+
+  /** Embedding near-duplicate pairs through IVF candidates -- the 100 TB
+    * shape of the brute-force `a.id < b.id` cross join: candidate pairs come
+    * only from probed cells (each corpus vector is assigned to ONE cell; the
+    * pair (a,b) is a candidate when b's cell is among a's nProbe probes or
+    * vice versa), so the scored set is ~n*nProbe*cellSize instead of n^2/2.
+    *
+    * Returns undirected pairs (id_a < id_b, sim_x10000 >= thrX10000). On a
+    * corpus with true near-duplicates (cosine >= 0.95) the duplicate and its
+    * original quantize to the same (or a probed) cell and recall is ~1.0
+    * (pinned by OpsSpec's planted-cluster test); on weakly-similar pairs
+    * recall degrades with the probe fraction -- the standard IVF trade
+    * (recall telemetry in the bench JSON quantifies it on the bench corpus).
+    * Exact DuckDB twin: q_embed_neardup_ann. */
+  def ivfNearDupPairs(
+      df: DataFrame, // (id, vec)
+      thrX10000: Long,
+      centroidEvery: Int,
+      nProbe: Int,
+      maxCell: Int = 1000
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(
+      df.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+    )
+    val scored = df
+      .join(cents)
+      .select(col("id"), col("cid"), cosineX10000(col("vec"), col("cvec")).as("cscore"))
+    val wCent = Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)
+    val probes = scored
+      .withColumn("crank", row_number().over(wCent))
+      .filter(col("crank") <= math.max(1, nProbe))
+      .select(col("id"), col("cid").as("cell"), col("crank"))
+    val assign = probes.filter(col("crank") === 1).select(col("cell"), col("id"))
+    val cells = assign
+      .groupBy("cell")
+      .agg(graft.expr.BoundedCollect.bounded_collect(col("id"), maxCell).as("__ids"))
+      .filter(col("__ids").isNotNull)
+    // a pair can surface from BOTH endpoints' probes (and from the shared
+    // own-cell probe) -> canonicalize to (min, max) and dedup BEFORE scoring,
+    // so each pair is scored exactly once
+    val cands = probes
+      .select(col("id").as("pid"), col("cell"))
+      .join(cells, Seq("cell"))
+      .select(col("pid"), explode(col("__ids")).as("mid"))
+      .filter(col("pid") =!= col("mid"))
+      .select(least(col("pid"), col("mid")).as("id_a"), greatest(col("pid"), col("mid")).as("id_b"))
+      .distinct()
+    cands
+      .join(df.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(df.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosineX10000(col("va"), col("vb")).as("sim_x10000"))
+      .filter(col("sim_x10000") >= thrX10000)
   }
 
   /** Build-once IVF index on disk: `dir/centroids` (the coarse quantizer)

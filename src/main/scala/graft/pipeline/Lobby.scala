@@ -57,9 +57,10 @@ object Lobby {
     *
     * Rust u64 FromStr semantics (lobbysettings.rs:58-70): optional '+',
     * ASCII digits with leading zeros legal, any digit count while the VALUE
-    * fits. Residual divergence (documented, NOTES): values in
-    * (Long.MaxValue, u64::MAX] are unrepresentable in LongType and reject
-    * here where Rust accepts -- real steam64s are ~7.6e16. */
+    * fits u64. Values in (i64::MAX, u64::MAX] -- adversarial-input-only,
+    * real steam64s are ~7.6e16 -- are stored as the two's-complement
+    * wrapped Long (u64 bits in LongType, Java Long.parseUnsignedLong
+    * semantics), so the full Rust acceptance range round-trips. */
   private def leaderParse(v: Column): Column = {
     // rsplit_once(" (") + trailing-')' strip (trim_end_matches strips ALL)
     val idx = length(v) - locate("( ", reverse(v)) // 1-based pos of last " ("
@@ -67,11 +68,14 @@ object Lobby {
     val rest = regexp_replace(substring(v, idx + lit(2), lit(1000000)), "\\)+$", "")
     val digits = regexp_replace(rest, "^\\+", "")
     val trimmed = regexp_replace(digits, "^0+(?=[0-9])", "")
-    val inLongRange = length(trimmed) <= 18 ||
-      (length(trimmed) === 19 && trimmed <= "9223372036854775807")
+    val inU64Range = length(trimmed) <= 19 ||
+      (length(trimmed) === 20 && trimmed <= "18446744073709551615")
+    val dec = trimmed.cast("decimal(20,0)")
+    val wrapped = when(dec <= lit(Long.MaxValue), dec.cast("long"))
+      .otherwise((dec - lit(new java.math.BigDecimal("18446744073709551616"))).cast("long"))
     when(
-      name.isNotNull && digits.rlike("^[0-9]+$") && inLongRange,
-      struct(name.as("name"), trimmed.cast("long").as("steam64"))
+      name.isNotNull && digits.rlike("^[0-9]+$") && inU64Range,
+      struct(name.as("name"), wrapped.as("steam64"))
     )
   }
 

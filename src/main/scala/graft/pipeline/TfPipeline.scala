@@ -477,9 +477,18 @@ object TfPipeline {
       ty.isin("kill", "kill_assist", "damage", "spawned", "role_change", "round_start", "round_win")
     )
 
-    def entry(key: Column, cls: Column, isState: Column, role: Column, other: Column, dmg: Column) =
+    // `ord` = within-line evaluation order, mirroring the reference's
+    // statement order inside one Killed event (classstats.rs:81-88):
+    //   0 = the death consumer's attacker-entry lookup (`self.data.get
+    //       (&subject)` runs BEFORE the target entry is created, so a
+    //       self-kill by a never-seen subject finds NO attacker entry),
+    //   1 = state rows (spawn/role class sets, kill target-entry creation),
+    //   2 = consumers that read AFTER creation (the kill's target-class
+    //       read sees the entry `data_mut` just created).
+    def entry(key: Column, cls: Column, isState: Column, role: Column, other: Column, dmg: Column,
+              ord: Int) =
       struct(key.as("key"), cls.as("cls"), isState.as("is_state"), role.as("role"),
-        other.as("other"), dmg.as("dmg"))
+        other.as("other"), dmg.as("dmg"), lit(ord).as("ord"))
 
     val nullS = lit(null.asInstanceOf[String])
     val nullL = lit(null.asInstanceOf[Long])
@@ -502,27 +511,31 @@ object TfPipeline {
       // class change: one state entry
       when(
         ty.isin("spawned", "role_change") && col("class_str").isNotNull,
-        array(entry(col("sid"), col("class_str"), lit(1), nullS, nullL, nullL))
+        array(entry(col("sid"), col("class_str"), lit(1), nullS, nullL, nullL, 1))
       )
-        // active kill: target-entry creation (state) + kill/death consumers
+        // active kill: target-entry creation (state) + kill/death consumers;
+        // the death consumer ('ka', keyed by the ATTACKER) evaluates at
+        // ord=0 -- before this line's own target-entry state row -- so a
+        // self-kill without a prior entry counts NO death, like the
+        // reference (and the streaming machine)
         .when(
           ty === "kill" && col("active"),
           array(
-            entry(col("tsid"), nullS, lit(1), nullS, nullL, nullL),
-            entry(col("tsid"), nullS, lit(0), lit("kt"), col("sid"), nullL),
-            entry(col("sid"), nullS, lit(0), lit("ka"), col("tsid"), nullL)
+            entry(col("tsid"), nullS, lit(1), nullS, nullL, nullL, 1),
+            entry(col("tsid"), nullS, lit(0), lit("kt"), col("sid"), nullL, 2),
+            entry(col("sid"), nullS, lit(0), lit("ka"), col("tsid"), nullL, 0)
           )
         )
         .when(
           ty === "kill_assist" && col("active"),
-          array(entry(against_subject_id(col("target_raw")), nullS, lit(0), lit("at"), col("sid"), nullL))
+          array(entry(against_subject_id(col("target_raw")), nullS, lit(0), lit("at"), col("sid"), nullL, 2))
         )
         .when(
           ty === "damage" && col("active") && col("dmg") > 0 && col("dmg") < 1500,
-          array(entry(damageTarget, nullS, lit(0), lit("dt"), col("sid"), col("dmg")))
+          array(entry(damageTarget, nullS, lit(0), lit("dt"), col("sid"), col("dmg"), 2))
         )
         .otherwise(array().cast(
-          "array<struct<key:bigint,cls:string,is_state:int,role:string,other:bigint,dmg:bigint>>"
+          "array<struct<key:bigint,cls:string,is_state:int,role:string,other:bigint,dmg:bigint,ord:int>>"
         ))
 
     val union = base
@@ -536,15 +549,16 @@ object TfPipeline {
         col("e.is_state").as("is_state"),
         col("e.role").as("role"),
         col("e.other").as("other"),
-        col("e.dmg").as("dmg")
+        col("e.dmg").as("dmg"),
+        col("e.ord").as("ord")
       )
 
-    // ---- as-of lookups per (doc, key): state rows sort before consumers at
-    // equal line_no (the kill's own target-entry insert precedes its class
-    // read in the reference)
+    // ---- as-of lookups per (doc, key): within one line, rows order by
+    // `ord` (death lookup < state insert < class read -- the reference's
+    // statement order inside a Killed event)
     val wKey = Window
       .partitionBy("doc_id", "key")
-      .orderBy(col("line_no"), col("is_state").desc)
+      .orderBy(col("line_no"), col("ord"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val looked = union
       .withColumn("last_cls", last(col("cls"), ignoreNulls = true).over(wKey))

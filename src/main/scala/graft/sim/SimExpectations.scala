@@ -351,17 +351,19 @@ object SimExpectations {
   }
 
   private def leaderParse(v: String): Option[(String, Long)] = {
-    // Rust u64 FromStr: '+' prefix, leading zeros, value-based range (twin
-    // of Lobby.leaderParse incl. the documented > Long.MaxValue residual)
+    // Rust u64 FromStr: '+' prefix, leading zeros, full u64 value range;
+    // values above i64::MAX carry as the wrapped two's-complement Long
+    // (Long.parseUnsignedLong), the twin of Lobby.leaderParse
     val p = v.lastIndexOf(" (")
     if (p < 0) return None
     val name = v.substring(0, p)
     val digits = v.substring(p + 2).replaceAll("\\)+$", "").stripPrefix("+")
     if (digits.nonEmpty && digits.forall(c => c >= '0' && c <= '9')) {
       val trimmed = digits.dropWhile(_ == '0') match { case "" => "0"; case t => t }
-      val inRange = trimmed.length <= 18 ||
-        (trimmed.length == 19 && trimmed <= "9223372036854775807")
-      if (inRange) Some((name, java.lang.Long.parseLong(trimmed))) else None
+      if (trimmed.length <= 20)
+        try Some((name, java.lang.Long.parseUnsignedLong(trimmed)))
+        catch { case _: NumberFormatException => None }
+      else None
     } else None
   }
 

@@ -110,6 +110,63 @@ class GoldenPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("classstats self-kill edge: attacker entry is read BEFORE target-entry creation") {
+    // classstats.rs:81-88 statement order: `self.data.get(&subject)` (death
+    // precondition) runs before `self.data_mut(target)` (entry creation), so
+    //  - G's FIRST self-kill counts a kill but NO death (G had no entry);
+    //  - G's SECOND self-kill counts the death (the first kill created G's
+    //    entry, class still default/unknown);
+    //  - unspawned H killing A counts H's kill (A's class read post-entry)
+    //    but NOT A's death (H has no entry);
+    //  - spawned A killing H counts both (A's entry exists, class scout).
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val a = """"A<2><[U:1:1001]><Red>""""
+    val g = """"G<9><[U:1:2001]><Red>""""
+    val h = """"H<10><[U:1:2002]><Blue>""""
+    val kp = """(attacker_position "1 2 3") (victim_position "4 5 6")"""
+    val lines = Vector(
+      s"""04/11/2021 - 13:53:20: $a spawned as "Scout"""",
+      s"""04/11/2021 - 13:53:21: World triggered "Round_Start"""",
+      s"""04/11/2021 - 13:53:22: $g killed $g with "world" $kp""",
+      s"""04/11/2021 - 13:53:23: $g killed $g with "world" $kp""",
+      s"""04/11/2021 - 13:53:24: $h killed $a with "world" $kp""",
+      s"""04/11/2021 - 13:53:25: $a killed $h with "scattergun" $kp"""
+    )
+    val sim = ReferenceSim.run(lines)
+    assert(!sim.hardError)
+    val input = lines.zipWithIndex.map { case (l, i) =>
+      val toks = LogGen.tokenize(l)
+      graft.loggen.SeqRow("edge-doc", i.toLong, "src-0", toks, toks.length)
+    }.toDF()
+    val routed = TfPipeline.routed(TfPipeline.envelope(input))
+    val rows = TfPipeline
+      .perPlayer(routed, TfPipeline.subjectDim(routed))
+      .collect()
+      .sortBy(_.getLong(2))
+    assert(rows.map(_.getString(1)).toSeq == sim.perPlayer.map(_.steam3), "player universe")
+    for ((row, exp) <- rows.zip(sim.perPlayer)) {
+      assert(row.getSeq[Long](4) == exp.kills.toSeq, s"${exp.steam3} kills")
+      assert(row.getSeq[Long](5) == exp.deaths.toSeq, s"${exp.steam3} deaths")
+    }
+    // pin the hand-derived reference values, not just batch == sim
+    val unk = graft.expr.LineParser.classIndex("unknown")
+    val sct = graft.expr.LineParser.classIndex("scout")
+    val byAcct = sim.perPlayer.map(p => p.account -> p).toMap
+    val (pA, pG, pH) = (byAcct(1001L), byAcct(2001L), byAcct(2002L))
+    assert(pG.kills(unk) == 2 && pG.deaths.sum == 1 && pG.deaths(unk) == 1,
+      "G: 2 self-kills, only the second counts a death")
+    assert(pH.kills(sct) == 1 && pH.deaths(sct) == 1, "H")
+    assert(pA.kills(unk) == 1 && pA.deaths.sum == 0,
+      "A: H had no entry when it killed A, so A's death is uncounted")
+  }
+
+  test("LogGen corpora actually contain the ghost self-kill edge (fuzz coverage)") {
+    val all = (0 until 6).flatMap(d => LogGen.docLines(Seed, d.toLong, Lines))
+    assert(all.exists(l => l.contains("ghost_") && l.contains(" killed ")),
+      "generator must emit the unspawned-attacker kill edge")
+  }
+
   test("routed rows preserve the token array exactly (per-row invariant)") {
     val input = LogGen.generate(spark, 2, 200, Seed).toDF()
     val env = TfPipeline.envelope(input)

@@ -183,6 +183,12 @@ class LobbySpec extends AnyFunSuite {
     assert(leaderOf("b4rney (0076561198055036243)") == ((true, 76561198055036243L)))
     assert(leaderOf("b4rney (+76561198055036243)") == ((true, 76561198055036243L)))
     assert(leaderOf("b4rney (x123)") == ((false, "malformed_leader")))
+    // full u64 range like Rust: values above i64::MAX carry as the wrapped
+    // two's-complement Long (adversarial-input-only; real steam64 ~7.6e16)
+    assert(leaderOf("b4rney (9223372036854775808)") == ((true, Long.MinValue)))
+    assert(leaderOf("b4rney (18446744073709551615)") == ((true, -1L)))
+    assert(leaderOf("b4rney (18446744073709551616)") == ((false, "malformed_leader")))
+    assert(leaderOf("b4rney (00018446744073709551615)") == ((true, -1L)))
   }
 
   test("lobby id: leading zeros are legal u32 (Rust FromStr semantics)") {

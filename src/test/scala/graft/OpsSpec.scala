@@ -151,6 +151,100 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("planted near-duplicates (cosine >= 0.95): IVF pair harvest has recall 1.0") {
+    // the synthetic sf tables contain NO true near-dups (max pairwise cosine
+    // ~0.6), so the gate queries run at a rank-derived threshold; this test
+    // is the semantics anchor for REAL near-dup corpora: plant duplicate
+    // clusters with ~0.5% perturbation and require the IVF candidate path
+    // to recover the full brute-force pair set at the 0.95 threshold
+    val dim = 16
+    def base(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => math.sin(i * 1.3 + d * 0.7).toFloat)
+    val originals = (0 until 120).map(i => (i.toLong, base(i)))
+    val dups = (0 until 15).map { j =>
+      val src = base(j * 8)
+      val wobbled = src.zipWithIndex.map { case (v, d) =>
+        v + 0.005f * math.sin(j * 2.1 + d).toFloat
+      }
+      ((1000 + j).toLong, wobbled)
+    }
+    val vecs = (originals ++ dups).toDF("id", "vec")
+    val brute = vecs.as("a")
+      .join(vecs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosineX10000(col("a.vec"), col("b.vec")).as("s"))
+      .filter(col("s") >= 9500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 15, s"planting failed: only ${brute.size} true pairs")
+    val ann = Similarity.ivfNearDupPairs(vecs, 9500L, centroidEvery = 10, nProbe = 3, maxCell = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann == brute, s"IVF must recover ALL true near-dup pairs: missed ${brute -- ann}")
+    // and each planted duplicate's ANN top-1 is SOME true >=0.95 partner
+    // (the sin-lattice originals alias near-periodically, so a duplicate can
+    // have several legitimate near-dup partners -- any of them is correct)
+    val partners: Map[Long, Set[Long]] = (brute.toSeq.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a)
+    }).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val lshTop1 = Similarity.lshTopK(vecs, dim, 6, 1, tables = 4, maxBucket = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfTop1 = Similarity.ivfTopK(vecs, 1, centroidEvery = 10, nProbe = 3, maxCell = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 15).map(j => (1000 + j).toLong).foreach { dup =>
+      val ok = partners(dup)
+      assert(lshTop1.get(dup).exists(ok.contains), s"LSH top-1 of $dup must be a true partner $ok")
+      assert(ivfTop1.get(dup).exists(ok.contains), s"IVF top-1 of $dup must be a true partner $ok")
+    }
+  }
+
+  test("trained k-means centroids: recall at equal nProbe >= the sampled quantizer") {
+    val n = 200
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("id", "vec")
+    val bf = Similarity.bruteForceTopK(vecs, vecs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      bf.count(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains).toDouble / bf.size
+    // same cell count (10) and probe budget for both quantizers
+    val sampled = recall(Similarity.ivfTopK(vecs, 3, centroidEvery = 20, nProbe = 2, maxCell = 200))
+    val trained = recall(Similarity.ivfTopKWithCentroids(
+      vecs, Similarity.trainCentroids(vecs, 10), 3, nProbe = 2, maxCell = 200))
+    assert(trained >= 0.6, s"trained-centroid recall too low: $trained")
+    assert(trained >= sampled - 0.05,
+      s"trained centroids must not lose to the arbitrary sample: $trained vs $sampled")
+  }
+
+  test("IVF store: probe scan is partition-pruned (DPP on the cells scan)") {
+    // the 100 TB claim of ivfTopKFromStore is that a probe batch READS ONLY
+    // its probed cells' partitions -- assert the plan carries a dynamic
+    // partition-pruning filter on the `cell` partition column instead of
+    // trusting the comment (VERDICT r4 nit 3)
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dpp").toString
+    try {
+      Similarity.writeIvfIndex(vecs, dir, centroidEvery = 10, maxCell = 60)
+      // a 3-query probe batch: the shape where pruning matters (few probed
+      // cells out of many)
+      val queries = vecs.filter(col("id") < 3)
+      val probe = Similarity.ivfTopKFromStore(spark, dir, queries, 3, nProbe = 2)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("dynamicpruning") ||
+          "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+        s"cells scan must carry a partition-pruning filter; plan:\n$plan"
+      )
+      assert(probe.count() > 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("lshCandidates: hot band bucket is bounded by maxBucket before the self-join") {
     // web-scale dedup's common pathology: a large cluster of identical
     // boilerplate docs -> every band bucket holds the whole cluster and an
