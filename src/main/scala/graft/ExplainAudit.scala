@@ -54,6 +54,15 @@ object ExplainAudit {
     section("tf_ann_ivf (expect BroadcastNestedLoopJoin for centroid assignment, capped cells)") {
       SparkEntry.queries("tf_ann_ivf")(spark, sfDir)
     }
+    section("q_embed_neardup_ann / ivfNearDupPairs (expect broadcast centroid scoring, ONE bounded_collect cell aggregate, pair dedup BEFORE scoring)") {
+      SparkEntry.queries("q_embed_neardup_ann")(spark, sfDir)
+    }
+    section("trained-centroid IVF probe (same plan shape as the sampled quantizer: broadcast cents, capped cells)") {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ops.Similarity.ivfTopKWithCentroids(
+        e, graft.ops.Similarity.trainCentroids(e, 8, maxIter = 2), 3, nProbe = 2, maxCell = 500)
+    }
     section("chunked bucket pairs, cap > 2048 (expect a user-numbered Exchange spreading chunk-pair rows BEFORE the pair explode)") {
       val ids = spark.range(0, 3000).select(lit("hot").as("k"), col("id"))
       val buckets = ids.groupBy("k")
