@@ -94,6 +94,37 @@ object GraftExpressions {
       copy(l, r)
   }
 
+  val typedParamsSchema: StructType = StructType(
+    Seq(
+      StructField("err", BooleanType, nullable = false),
+      StructField("text", StringType),
+      StructField("target_raw", StringType),
+      StructField("target_kind", StringType),
+      StructField("healing", LongType),
+      StructField("dmg", LongType),
+      StructField("charge", LongType, nullable = false),
+      StructField("duration", FloatType, nullable = false),
+      StructField("f_time", FloatType, nullable = false),
+      StructField("class_str", StringType)
+    )
+  )
+
+  /** One-pass typed param extraction (see [[Kernels.typedParams]]): the
+    * classify/flatten leg's replacement for params_map + element_at chains. */
+  case class TypedParams(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = typedParamsSchema
+    override def nullable: Boolean = left.nullable || right.nullable
+    override protected def nullSafeEval(ty: Any, params: Any): Any =
+      Kernels.typedParams(
+        ty.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        params.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      )
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.expr.Kernels.typedParams($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(l, r)
+  }
+
   /** parse_int_overflow with clamp max; null on malformed. */
   case class ClampInt(child: Expression, min: Long, max: Long) extends UnaryKernel {
     override def dataType: DataType = LongType
@@ -375,6 +406,7 @@ object GraftExpressions {
   def string_to_tokens(c: Column): Column = col(StringToTokens(ex(c)))
   def parse_raw_line(c: Column): Column = col(ParseRawLine(ex(c)))
   def params_map(ty: Column, params: Column): Column = col(ParamsMap(ex(ty), ex(params)))
+  def typed_params(ty: Column, params: Column): Column = col(TypedParams(ex(ty), ex(params)))
   def clamp_u8(c: Column): Column = col(ClampInt(ex(c), 0L, 255L))
   def clamp_u16(c: Column): Column = col(ClampInt(ex(c), 0L, 65535L))
   def clamp_u32(c: Column): Column = col(ClampInt(ex(c), 0L, 4294967295L))

@@ -168,6 +168,125 @@ object Kernels {
     new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
   }
 
+  // ---- one-pass typed param extraction -----------------------------------
+
+  private val K_TEXT = UTF8String.fromString("_text")
+  private val K_TARGET = UTF8String.fromString("_target")
+  private val K_AGAINST = UTF8String.fromString("against")
+  private val K_TARGET_KIND = UTF8String.fromString("_target_kind")
+  private val K_HEALING = UTF8String.fromString("healing")
+  private val K_DAMAGE = UTF8String.fromString("damage")
+  private val K_UBERCHARGE = UTF8String.fromString("ubercharge")
+  private val K_DURATION = UTF8String.fromString("duration")
+  private val K_TIME = UTF8String.fromString("time")
+  private val K_AS = UTF8String.fromString("as")
+  private val K_TO = UTF8String.fromString("to")
+  private val T_SPAWNED = UTF8String.fromString("spawned")
+  private val T_ROLE_CHANGE = UTF8String.fromString("role_change")
+
+  /** One-pass typed extraction for the classify/flatten leg -- value-
+    * identical to building [[paramsMap]] and reading it back with the
+    * `element_at` + clamp/parse chain in TfPipeline.flattenTyped, but with
+    * no intermediate MapType (no map allocation, no per-key linear map
+    * scans): a single forward scan over the parsed key/value arrays with
+    * overwrite-on-match replicates the map's last-occurrence-wins lookup.
+    *
+    * struct(err, text, target_raw, target_kind, healing, dmg, charge,
+    * duration, f_time, class_str); field semantics:
+    *  - err           = parse error || typed-field error (the `__error` entry)
+    *  - target_raw    = coalesce(_target, against)
+    *  - healing / dmg = u32-clamp / i64-clamp, null when absent or malformed
+    *  - charge        = u32-clamp of ubercharge, 0 when absent/malformed
+    *  - duration/f_time = f32 parse, 0f when absent/malformed
+    *  - class_str     = normalized `as` (spawned) / `to` (role_change)
+    */
+  def typedParams(eventType: UTF8String, params: UTF8String): InternalRow = {
+    var err = false
+    var text: UTF8String = null
+    var target: UTF8String = null
+    var against: UTF8String = null
+    var targetKind: UTF8String = null
+    var healingV: String = null
+    var damageV: String = null
+    var uberV: String = null
+    var durV: String = null
+    var timeV: String = null
+    var clsRaw: String = null
+
+    val pb = ByteParser.paramsFor(eventType, params)
+    if (pb != null) {
+      err = pb.error || ByteParser.typedError(eventType, pb.keys, pb.values)
+      val wantAs = eventType.equals(T_SPAWNED)
+      val wantTo = eventType.equals(T_ROLE_CHANGE)
+      val ks = pb.keys
+      val vs = pb.values
+      var i = 0
+      while (i < ks.length) {
+        val k = ks(i)
+        if (k.equals(K_TEXT)) text = vs(i)
+        else if (k.equals(K_TARGET)) target = vs(i)
+        else if (k.equals(K_AGAINST)) against = vs(i)
+        else if (k.equals(K_TARGET_KIND)) targetKind = vs(i)
+        else if (k.equals(K_HEALING)) healingV = vs(i).toString
+        else if (k.equals(K_DAMAGE)) damageV = vs(i).toString
+        else if (k.equals(K_UBERCHARGE)) uberV = vs(i).toString
+        else if (k.equals(K_DURATION)) durV = vs(i).toString
+        else if (k.equals(K_TIME)) timeV = vs(i).toString
+        else if (wantAs && k.equals(K_AS)) clsRaw = vs(i).toString
+        else if (wantTo && k.equals(K_TO)) clsRaw = vs(i).toString
+        i += 1
+      }
+    } else {
+      val ty = eventType.toString
+      val p = LineParser.paramsFor(ty, params.toString)
+      err = p.error || LineParser.typedError(ty, p.keys, p.values)
+      val wantAs = ty == "spawned"
+      val wantTo = ty == "role_change"
+      var i = 0
+      while (i < p.keys.length) {
+        val k = p.keys(i)
+        val v = p.values(i)
+        k match {
+          case "_text"        => text = UTF8String.fromString(v)
+          case "_target"      => target = UTF8String.fromString(v)
+          case "against"      => against = UTF8String.fromString(v)
+          case "_target_kind" => targetKind = UTF8String.fromString(v)
+          case "healing"      => healingV = v
+          case "damage"       => damageV = v
+          case "ubercharge"   => uberV = v
+          case "duration"     => durV = v
+          case "time"         => timeV = v
+          case "as" if wantAs => clsRaw = v
+          case "to" if wantTo => clsRaw = v
+          case _              =>
+        }
+        i += 1
+      }
+    }
+
+    val out = new GenericInternalRow(10)
+    out.update(0, err)
+    out.update(1, text)
+    out.update(2, if (target != null) target else against)
+    out.update(3, targetKind)
+    if (healingV != null) {
+      val h = LineParser.clampParse(healingV, 4294967295L)
+      if (h != null) out.setLong(4, h.longValue())
+    }
+    if (damageV != null) {
+      val d = LineParser.clampParseSigned(damageV, Long.MinValue, Long.MaxValue)
+      if (d != null) out.setLong(5, d.longValue())
+    }
+    val c = if (uberV != null) LineParser.clampParse(uberV, 4294967295L) else null
+    out.setLong(6, if (c != null) c.longValue() else 0L)
+    val du = if (durV != null) LineParser.parseF32(durV) else null
+    out.setFloat(7, if (du != null) du.floatValue() else 0f)
+    val ft = if (timeV != null) LineParser.parseF32(timeV) else null
+    out.setFloat(8, if (ft != null) ft.floatValue() else 0f)
+    if (clsRaw != null) out.update(9, UTF8String.fromString(LineParser.classNormalize(clsRaw)))
+    out
+  }
+
   // ---- scalar field parsers (boxed-nullable for codegen) -----------------
 
   def clampIntBoxed(v: UTF8String, min: Long, max: Long): java.lang.Long =

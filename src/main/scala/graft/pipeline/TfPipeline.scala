@@ -75,11 +75,10 @@ object TfPipeline {
       )
   }
 
-  /** Event-level parse error: the params kernel validates required AND
-    * present-but-malformed typed fields in one pass and flags `__error`
-    * (replicates the reference's `?` propagation). */
-  private def typedErr(pm: Column): Column =
-    element_at(pm, "__error").isNotNull
+  // Event-level parse error (the reference's `?` propagation) is the `err`
+  // field of the one-pass typed_params struct: the kernel validates required
+  // AND present-but-malformed typed fields in the same scan that extracts
+  // the typed values.
 
   // -------------------------------------------------------------------------
   // Stage 3: classification + routing
@@ -107,21 +106,21 @@ object TfPipeline {
     */
   def classified(env: DataFrame): DataFrame = classifyFlags(classifyPointwise(env))
 
-  /** Pointwise half of [[classified]]: typed params map, handled/typed_err
-    * flags and the consume-candidate flag -- no window, so callers can prune
-    * heavyweight payload columns (params, pm, date) BEFORE the per-doc window
-    * exchange that [[classifyFlags]] introduces. */
+  /** Pointwise half of [[classified]]: one-pass typed params struct `tp`,
+    * handled/typed_err flags and the consume-candidate flag -- no window, so
+    * callers can prune heavyweight payload columns (params, tp, date) BEFORE
+    * the per-doc window exchange that [[classifyFlags]] introduces. */
   def classifyPointwise(env: DataFrame): DataFrame = {
     val handled = col("status") === 0 && col("event_type").isInCollection(HandledTypes)
     val withPm = env
       .withColumn("handled", handled)
       .withColumn(
-        "pm",
-        when(handled, params_map(col("event_type"), col("params")))
+        "tp",
+        when(handled, typed_params(col("event_type"), col("params")))
       )
       .withColumn(
         "typed_err",
-        when(handled, typedErr(col("pm"))).otherwise(lit(false))
+        coalesce(when(handled, col("tp").getField("err")), lit(false))
       )
     val rescueA =
       col("typed_err") && col("params").contains(concat(lit("L "), substring(col("date"), 1, 10)))
@@ -192,11 +191,11 @@ object TfPipeline {
     * aborted doc emits nothing. */
   def routedWithUniverse(env: DataFrame): (DataFrame, DataFrame) = {
     // flatten the typed fields POINTWISE and drop the heavyweight payload
-    // (pm map, raw params, date) before the per-doc window exchange: the
+    // (tp struct, raw params, date) before the per-doc window exchange: the
     // classification flags only read small fixed-width columns, so the
-    // shuffle + sort carry primitives instead of a serialized map per row
+    // shuffle + sort carry primitives instead of a struct payload per row
     val pruned = flattenTyped(classifyPointwise(env.drop("tokens")))
-      .drop("pm", "params", "date")
+      .drop("tp", "params", "date")
     val cls = classifyFlags(pruned)
     val flagged = cls.withColumn(
       "doc_error",
@@ -228,36 +227,29 @@ object TfPipeline {
           .filter(col("route").isInCollection(HandledTypes)) // partition pruning
           .join(broadcast(errorDocs), Seq("doc_id"), "left_anti")
           .withColumn("ts", graft.expr.GraftExpressions.date_epoch(col("date")))
-          .withColumn("pm", params_map(col("event_type"), col("params")))
+          .withColumn("tp", typed_params(col("event_type"), col("params")))
       )
     )
   }
 
   /** Flatten the typed fields the modules need into primitive columns
-    * (pointwise, from `pm`): columnar-cache-friendly (a cached MapType column
-    * deserializes generically and every element_at re-scans the map), and
-    * shuffle-friendly (callers drop `pm` before any exchange). */
+    * (pointwise, from the one-pass `tp` struct): columnar-cache-friendly and
+    * shuffle-friendly (callers drop `tp` before any exchange). The
+    * charge/duration/f_time defaults fire only when `tp` itself is null
+    * (unhandled rows -- filtered before any consumer); on handled rows the
+    * kernel already applied them. */
   private def flattenTyped(df: DataFrame): DataFrame = {
     df
       .withColumn("sid", subject_id(col("kind"), col("subject")))
-      .withColumn("text", element_at(col("pm"), "_text"))
-      .withColumn(
-        "target_raw",
-        coalesce(element_at(col("pm"), "_target"), element_at(col("pm"), "against"))
-      )
-      .withColumn("target_kind", element_at(col("pm"), "_target_kind"))
-      .withColumn("healing", clamp_u32(element_at(col("pm"), "healing")))
-      .withColumn("dmg", clamp_i64(element_at(col("pm"), "damage")))
-      .withColumn("charge", coalesce(clamp_u32(element_at(col("pm"), "ubercharge")), lit(0L)))
-      .withColumn("duration", coalesce(parse_f32(element_at(col("pm"), "duration")), lit(0f)))
-      .withColumn("f_time", coalesce(parse_f32(element_at(col("pm"), "time")), lit(0f)))
-      .withColumn(
-        "class_str",
-        class_normalize(
-          when(col("event_type") === "spawned", element_at(col("pm"), "as"))
-            .when(col("event_type") === "role_change", element_at(col("pm"), "to"))
-        )
-      )
+      .withColumn("text", col("tp").getField("text"))
+      .withColumn("target_raw", col("tp").getField("target_raw"))
+      .withColumn("target_kind", col("tp").getField("target_kind"))
+      .withColumn("healing", col("tp").getField("healing"))
+      .withColumn("dmg", col("tp").getField("dmg"))
+      .withColumn("charge", coalesce(col("tp").getField("charge"), lit(0L)))
+      .withColumn("duration", coalesce(col("tp").getField("duration"), lit(0f)))
+      .withColumn("f_time", coalesce(col("tp").getField("f_time"), lit(0f)))
+      .withColumn("class_str", col("tp").getField("class_str"))
   }
 
   /** Shared derivation: surviving handled rows (flattened, with ts) -> the

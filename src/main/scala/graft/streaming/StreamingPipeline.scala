@@ -236,27 +236,22 @@ object StreamingPipeline {
       .classifyPointwise(env)
       // sid is only read on handled medic rows; sentinel for non-OK lines
       .withColumn("sid", coalesce(subject_id(col("kind"), col("subject")), lit(-2L)))
-      .withColumn("charge", coalesce(clamp_u32(element_at(col("pm"), "ubercharge")), lit(0L)))
-      .withColumn("duration", coalesce(parse_f32(element_at(col("pm"), "duration")), lit(0f)))
-      .withColumn("f_time", coalesce(parse_f32(element_at(col("pm"), "time")), lit(0f)))
-      .withColumn(
-        "class_str",
-        class_normalize(
-          when(col("event_type") === "spawned", element_at(col("pm"), "as"))
-            .when(col("event_type") === "role_change", element_at(col("pm"), "to"))
-        )
-      )
+      // typed fields come pre-extracted from the one-pass `tp` struct; the
+      // coalesce defaults fire only for unhandled rows (tp null), exactly
+      // like the old element_at-over-null-map chain
       .select(
         col("doc_id"), col("line_no"), col("status"), col("handled"),
         col("typed_err"), col("rescue_a"), col("ts").as("tsOpt"), col("sid"),
         coalesce(col("event_type"), lit("")).as("event_type"),
-        col("charge"), col("duration"), col("f_time"),
-        col("subject"), element_at(col("pm"), "_text").as("text"),
-        col("class_str"),
-        element_at(col("pm"), "_target_kind").as("target_kind"),
-        coalesce(element_at(col("pm"), "_target"), element_at(col("pm"), "against")).as("target_raw"),
-        clamp_i64(element_at(col("pm"), "damage")).as("dmgOpt"),
-        clamp_u32(element_at(col("pm"), "healing")).as("healingOpt")
+        coalesce(col("tp").getField("charge"), lit(0L)).as("charge"),
+        coalesce(col("tp").getField("duration"), lit(0f)).as("duration"),
+        coalesce(col("tp").getField("f_time"), lit(0f)).as("f_time"),
+        col("subject"), col("tp").getField("text").as("text"),
+        col("tp").getField("class_str").as("class_str"),
+        col("tp").getField("target_kind").as("target_kind"),
+        col("tp").getField("target_raw").as("target_raw"),
+        col("tp").getField("dmg").as("dmgOpt"),
+        col("tp").getField("healing").as("healingOpt")
       )
   }
 

@@ -57,6 +57,43 @@ class ByteParserSpec extends AnyFunSuite {
           graft.expr.Steam.againstSubjectId(v),
         s"againstSubjectId: $v"
       )
+    diffTypedParams(ty, params)
+  }
+
+  /** The one-pass [[graft.expr.Kernels.typedParams]] struct must equal the
+    * old map formulation (last-wins params map + element_at + clamp/parse
+    * chain) field-for-field on every parseable event. */
+  private def diffTypedParams(ty: String, params: String): Unit = {
+    val row = graft.expr.Kernels
+      .typedParams(UTF8String.fromString(ty), UTF8String.fromString(params))
+    val p = LineParser.paramsFor(ty, params)
+    val m = new scala.collection.mutable.LinkedHashMap[String, String]
+    for ((k, v) <- p.keys.zip(p.values)) m(k) = v
+    def g(k: String): String = m.get(k).orNull
+    def str(i: Int): String = if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+    def lng(i: Int): java.lang.Long = if (row.isNullAt(i)) null else row.getLong(i)
+    val ctx = s"$ty | $params"
+
+    val expErr = p.error || LineParser.typedError(ty, p.keys, p.values)
+    assert(row.getBoolean(0) == expErr, s"tp.err: $ctx")
+    assert(str(1) == g("_text"), s"tp.text: $ctx")
+    val expTarget = if (m.contains("_target")) g("_target") else g("against")
+    assert(str(2) == expTarget, s"tp.target_raw: $ctx")
+    assert(str(3) == g("_target_kind"), s"tp.target_kind: $ctx")
+    assert(lng(4) == LineParser.clampParse(g("healing"), 4294967295L), s"tp.healing: $ctx")
+    assert(
+      lng(5) == LineParser.clampParseSigned(g("damage"), Long.MinValue, Long.MaxValue),
+      s"tp.dmg: $ctx")
+    val expCharge = Option(LineParser.clampParse(g("ubercharge"), 4294967295L))
+      .fold(0L)(_.longValue())
+    assert(row.getLong(6) == expCharge, s"tp.charge: $ctx")
+    val expDur = Option(LineParser.parseF32(g("duration"))).fold(0f)(_.floatValue())
+    assert(java.lang.Float.compare(row.getFloat(7), expDur) == 0, s"tp.duration: $ctx")
+    val expTime = Option(LineParser.parseF32(g("time"))).fold(0f)(_.floatValue())
+    assert(java.lang.Float.compare(row.getFloat(8), expTime) == 0, s"tp.f_time: $ctx")
+    val expClsRaw = if (ty == "spawned") g("as") else if (ty == "role_change") g("to") else null
+    val expCls = if (expClsRaw == null) null else LineParser.classNormalize(expClsRaw)
+    assert(str(9) == expCls, s"tp.class_str: $ctx")
   }
 
   test("reference vectors and quirk lines agree byte-for-byte") {
