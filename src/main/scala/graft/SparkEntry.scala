@@ -364,22 +364,30 @@ object SparkEntry {
           .start()
         try q.processAllAvailable()
         finally q.stop()
-        val latest = streaming
+        val allRows = streaming
           .latestMedicRows(s.table(qname))
-          .filter(!col("aborted") && shiftrightunsigned(col("sid"), 32) === 1)
+          .filter(!col("aborted"))
+        val latest = allRows.filter(shiftrightunsigned(col("sid"), 32) === 1)
         val r = routedOf(s, d)
-        val players = TfPipeline
-          .subjectDim(r)
+        val dim = TfPipeline.subjectDim(r)
+        val players = dim
           .filter(shiftrightunsigned(col("sid"), 32) === 1)
           .select(col("doc_id"), col("sid"))
-        val cells = Seq("kills" -> "k", "deaths" -> "d", "assists" -> "a", "damage" -> "g").flatMap {
+        // the machine's deaths are BUCKET-keyed (raw kill-target interned
+        // id); finalize re-keys them by the claiming subject's
+        // SubjectData-id, same as the batch assembly (classstats.rs:113-120)
+        val deathsClaimed = TfPipeline
+          .claimDeaths(allRows.select("doc_id", "sid", "deaths"), dim)
+          .withColumnRenamed("deaths", "deaths_c")
+        val cells = Seq("kills" -> "k", "deaths_c" -> "d", "assists" -> "a", "damage" -> "g").flatMap {
           case (src, p) =>
             (0 until 10).map(i => coalesce(element_at(col(src), i + 1), lit(0L)).as(s"$p$i"))
         }
         localize(
           s,
           players
-            .join(latest, Seq("doc_id", "sid"), "left")
+            .join(latest.drop("deaths"), Seq("doc_id", "sid"), "left")
+            .join(deathsClaimed, Seq("doc_id", "sid"), "left")
             .select(
               Seq(
                 col("doc_id"),

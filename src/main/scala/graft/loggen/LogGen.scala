@@ -231,7 +231,7 @@ object LogGen {
           case 5 => emit(s""""${p.raw}" triggered "shot_fired" (weapon "scattergun")""")
         }
       } else if (r < 0.94) { // junk / edge lines
-        rng.nextInt(13) match {
+        rng.nextInt(16) match {
           case 0 => out += "short junk" // envelope Skip (<24 chars)
           case 1 => emit(s""""${anyPlayer().raw}" triggered "mysterious_event" (x "1")""") // unknown
           case 2 => emit(s"""World triggered "Game_Paused"""")
@@ -296,6 +296,48 @@ object LogGen {
             val g = Player(s"ghost_${rng.nextInt(100)}", 90 + rng.nextInt(9),
               999100000L + rng.nextInt(1000), "Blue", "Scout")
             emit(s""""${g.raw}" killed "${anyPlayer().raw}" with "world" (attacker_position "${pos()}") (victim_position "${pos()}")""")
+          case 13 =>
+            // SubjectData-id divergence (b): user_id overflows u16, steam3
+            // valid -> interned Player(acct) (the `:digits]` fast path never
+            // reads the uid, common.rs:237-242) but SubjectData =
+            // MalformedPlayer (u16 parse fails, common.rs:320) -> the
+            // finalize deaths lookup (classstats.rs:119) deterministically
+            // MISSES: kills accrue, deaths stay zero
+            if (!roundOpen) { emit("""World triggered "Round_Start""""); roundOpen = true }
+            val uidBig = 70000 + rng.nextInt(30000)
+            val acct = 998000000L + rng.nextInt(1000)
+            val praw = s"uid_overflow<$uidBig><[U:1:$acct]><Red>"
+            val k = anyPlayer()
+            emit(s""""$praw" spawned as "Sniper"""")
+            emit(s""""$praw" killed "${k.raw}" with "sniperrifle" (attacker_position "${pos()}") (victim_position "${pos()}")""")
+            emit(s""""${k.raw}" killed "$praw" with "knife" (attacker_position "${pos()}") (victim_position "${pos()}")""")
+          case 14 =>
+            // SubjectData-id divergence (c): trailing junk after the steam3
+            // bracket -> interned Player(acct) via the fast scan, but
+            // SubjectData's strict steam3/steam2 parses fail -> Bot(uid)
+            // (common.rs:324-328); the finalize lookup then CLAIMS the
+            // interned Bot(uid) bucket -- a roster bot's deaths when uids
+            // collide (remove() transfer, classstats.rs:119)
+            if (!roundOpen) { emit("""World triggered "Round_Start""""); roundOpen = true }
+            val bots = players.filter(_.isBot)
+            val uid = if (bots.nonEmpty) bots(0).userId else 55
+            val acct = 997000000L + rng.nextInt(1000)
+            val praw = s"junk_steam<$uid><[U:1:$acct]x><Blue>"
+            if (bots.nonEmpty)
+              emit(s""""${anyPlayer().raw}" killed "${bots(0).raw}" with "world" (attacker_position "${pos()}") (victim_position "${pos()}")""")
+            emit(s""""$praw" say "borrowed identity"""")
+          case 15 =>
+            // SubjectData-id divergence (d): the TEAM field embeds ':N]' so
+            // the interning fast scan (rightmost ']' then rightmost ':')
+            // reads N from the team while SubjectData parses the real steam
+            // field -> interned Player(freshAcct), data id Player(existing
+            // account). The existing player was first-seen earlier, so IT
+            // keeps its deaths bucket and the impostor's lookup finds the
+            // bucket already removed -> zeros (first-claimant-wins)
+            val victim = anyPlayer()
+            val freshAcct = 996000000L + rng.nextInt(1000)
+            val praw = s"team_trick<9><[U:1:${victim.account}]><R:${freshAcct}]d>"
+            emit(s""""$praw" say "second claimant"""")
         }
       } else { // disconnect/reconnect churn
         val p = anyPlayer()

@@ -299,7 +299,18 @@ object TfPipeline {
 
   /** First-seen-wins subject dimension per (doc, sid): data kind
     * (1 player / 2 bot / 3 malformed / packed kind otherwise), display name
-    * and text-parsed steam64 (SubjectData semantics, common.rs:308-342). */
+    * and text-parsed steam64 (SubjectData semantics, common.rs:308-342).
+    *
+    * `death_key` is the packed `SubjectData::id()` of a player-INTERNED
+    * subject (common.rs:285-295) -- the key the reference's classstats
+    * finalize uses to pull the deaths bucket (`self.data.remove(&subject
+    * .id())`, classstats.rs:113-120), which diverges from the interned sid
+    * for pathological subjects (the interning fast path reads the digits
+    * between the last ':' and ']' of the raw, while SubjectData re-parses
+    * the split steam field and user id). Null = a deterministic miss: a
+    * MalformedPlayer data id hashes the raw string, and a raw whose
+    * interning produced Player can never also intern as MalformedPlayer,
+    * so the lookup can never hit (seed-random ahash notwithstanding). */
   def subjectDim(routedDf: DataFrame): DataFrame = {
     val sp = split_player_subject(col("first_subject"))
     val acct = steam_text_account(sp.getField("steam"))
@@ -334,7 +345,56 @@ object TfPipeline {
         "steam64_text",
         when(col("kind") === 1 && col("data_kind") === 1, acct + lit(graft.expr.Steam.STEAM64_BASE))
       )
-      .select("doc_id", "sid", "data_kind", "name", "steam64_text", "first_line")
+      .withColumn(
+        "death_key",
+        when(
+          col("kind") === 1,
+          when(col("data_kind") === 1, lit(graft.expr.Steam.K_PLAYER << 32) + acct)
+            .when(col("data_kind") === 2,
+              lit(graft.expr.Steam.K_BOT << 32) + sp.getField("user_id").cast("long"))
+        )
+      )
+      .select("doc_id", "sid", "data_kind", "name", "steam64_text", "first_line", "death_key")
+  }
+
+  /** Re-key per-bucket deaths arrays by the subject that CLAIMS them, the
+    * distributed twin of the reference's finalize (classstats.rs:113-120 +
+    * lib.rs:106-115): deaths accumulate under the raw kill-target's interned
+    * id, but each player-interned output subject retrieves its array with
+    * `self.data.remove(&subject.id())` -- a remove-once lookup by the
+    * SubjectData-derived id (dim's `death_key`). One subject per bucket: the
+    * reference's iteration order is its seed-random AHashMap, so when two
+    * output subjects contend for one bucket the reference's own winner is
+    * nondeterministic; we take the first-seen subject (first_line, sid) --
+    * the deterministic choice, documented as the residual (same class as the
+    * MalformedPlayer ahash substitution).
+    *
+    * `buckets`: (doc_id, sid, deaths) with sid = bucket key; `dim`:
+    * [[subjectDim]] output. Returns (doc_id, sid, deaths) keyed by the
+    * claiming subject; unclaimed buckets and claimants whose key misses are
+    * dropped (callers default deaths to zeros). Shape: one tiny window + one
+    * union-merge exchange, both keyed (doc_id, x) -- no join, skew-free. */
+  def claimDeaths(buckets: DataFrame, dim: DataFrame): DataFrame = {
+    val wClaim = Window
+      .partitionBy("doc_id", "death_key")
+      .orderBy(col("first_line"), col("sid"))
+    val claims = dim
+      .filter(shiftrightunsigned(col("sid"), 32) === 1 && col("death_key").isNotNull)
+      .withColumn("rk", row_number().over(wClaim))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("death_key").as("bkey"), col("sid").as("claimant"))
+    buckets
+      .select(col("doc_id"), col("sid").as("bkey"), col("deaths"),
+        lit(null).cast("bigint").as("claimant"))
+      .unionByName(claims.select(col("doc_id"), col("bkey"),
+        lit(null).cast("array<bigint>").as("deaths"), col("claimant")))
+      .groupBy(col("doc_id"), col("bkey"))
+      .agg(
+        first(col("deaths"), ignoreNulls = true).as("deaths"),
+        first(col("claimant"), ignoreNulls = true).as("sid")
+      )
+      .filter(col("sid").isNotNull && col("deaths").isNotNull)
+      .select("doc_id", "sid", "deaths")
   }
 
   // -------------------------------------------------------------------------
@@ -646,12 +706,22 @@ object TfPipeline {
     def leg(df: DataFrame, cols: Column*): DataFrame =
       df.select(Seq(col("doc_id"), col("sid")) ++ cols: _*)
 
+    val cs = classStats(routedDf)
+    // deaths are BUCKET-keyed in cs (raw kill-target interned id); re-key by
+    // the claiming output subject (classstats.rs finalize semantics) -- for
+    // every non-pathological subject claim key == own sid, so this leg
+    // reduces to "deaths of my own bucket"
+    val deathsClaimed = claimDeaths(cs.select("doc_id", "sid", "deaths"), dim)
+
     val unioned =
       leg(players, col("steam3"), col("steam64"), col("name"),
         nArr.as("kills"), nArr.as("deaths"), nArr.as("assists"), nArr.as("damage"),
         nMap.as("heals_by_account"), nMedic.as("medic"))
-        .unionByName(leg(classStats(routedDf), nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
-          col("kills"), col("deaths"), col("assists"), col("damage"),
+        .unionByName(leg(cs, nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
+          col("kills"), nArr.as("deaths"), col("assists"), col("damage"),
+          nMap.as("heals_by_account"), nMedic.as("medic")))
+        .unionByName(leg(deathsClaimed, nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
+          nArr.as("kills"), col("deaths"), nArr.as("assists"), nArr.as("damage"),
           nMap.as("heals_by_account"), nMedic.as("medic")))
         .unionByName(leg(healSpread(routedDf), nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
           nArr.as("kills"), nArr.as("deaths"), nArr.as("assists"), nArr.as("damage"),

@@ -128,7 +128,12 @@ object ReferenceSim {
       val kind: Int, // packed kind
       val name: String, // first-seen
       val steam64FromText: Long, // -1 if not a player per SubjectData
-      val firstLine: Long
+      val firstLine: Long,
+      // packed SubjectData::id() (common.rs:285-295) -- the classstats
+      // finalize deaths-lookup key (classstats.rs:119); -1 = deterministic
+      // miss (MalformedPlayer: its ahash id can never equal an interned
+      // bucket key, because the same raw interned as Player/Bot instead)
+      val dataKey: Long
   )
 
   def run(lines: IndexedSeq[String]): SimResult = {
@@ -200,11 +205,14 @@ object ReferenceSim {
                   val uidOk = parts(1).nonEmpty && parts(1).length <= 18 &&
                     parts(1).forall(_.isDigit) && java.lang.Long.parseLong(parts(1)) <= 65535L
                   if (acct != null && uidOk)
-                    new SubjData(1, parts(0), Steam.steam64(acct.longValue()), lineNo)
-                  else if (uidOk) new SubjData(2, parts(0), -1L, lineNo) // Bot
-                  else new SubjData(3, raw.subject, -1L, lineNo) // MalformedPlayer
-                } else new SubjData(3, raw.subject, -1L, lineNo)
-              } else new SubjData(Steam.packedKind(sid), raw.subject, -1L, lineNo)
+                    new SubjData(1, parts(0), Steam.steam64(acct.longValue()), lineNo,
+                      (Steam.K_PLAYER << 32) | acct.longValue())
+                  else if (uidOk) // Bot
+                    new SubjData(2, parts(0), -1L, lineNo,
+                      (Steam.K_BOT << 32) | java.lang.Long.parseLong(parts(1)))
+                  else new SubjData(3, raw.subject, -1L, lineNo, -1L) // MalformedPlayer
+                } else new SubjData(3, raw.subject, -1L, lineNo, -1L)
+              } else new SubjData(Steam.packedKind(sid), raw.subject, -1L, lineNo, sid)
             subjects(sid) = sd
           }
           val m = typed.m
@@ -312,10 +320,18 @@ object ReferenceSim {
     if (hardError) return SimResult(Vector.empty, Vector.empty, hardError = true, handledCount, Vector.empty)
 
     // ---- finalize (lib.rs:106-119) --------------------------------------
+    // deaths retrieval: `self.data.remove(&subject.id())` (classstats.rs:119)
+    // -- a remove-once lookup keyed by the SubjectData-derived id, claimed in
+    // subject first-seen order (the reference's own iteration order is its
+    // seed-random AHashMap; first-seen is the deterministic stand-in, same
+    // residual class as the MalformedPlayer hash substitution)
     val perPlayer = subjects.iterator
       .filter { case (sid, _) => Steam.packedKind(sid) == 1 } // SubjectId::steam_id() is Some
-      .map { case (sid, _) =>
+      .map { case (sid, sd) =>
         val acct = Steam.packedValue(sid)
+        val claimedDeaths =
+          if (sd.dataKey == -1L) new Array[Long](10)
+          else classData.remove(sd.dataKey).map(_._2).getOrElse(new Array[Long](10))
         val mOut = medic.get(sid) match {
           case Some(b) if b.startHealingCount > 0 =>
             MedicOut(
@@ -358,7 +374,7 @@ object ReferenceSim {
           Steam.steam3(acct),
           Steam.steam64(acct),
           kills.getOrElse(sid, new Array[Long](10)),
-          classData.get(sid).map(_._2).getOrElse(new Array[Long](10)),
+          claimedDeaths,
           assists.getOrElse(sid, new Array[Long](10)),
           damage.getOrElse(sid, new Array[Long](10)),
           heals,

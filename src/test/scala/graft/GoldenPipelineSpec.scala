@@ -167,6 +167,71 @@ class GoldenPipelineSpec extends AnyFunSuite {
       "generator must emit the unspawned-attacker kill edge")
   }
 
+  test("LogGen corpora contain all three SubjectData-id divergence shapes (fuzz coverage)") {
+    val all = (0 until 6).flatMap(d => LogGen.docLines(Seed, d.toLong, Lines)) ++
+      (0 until 4).flatMap(d => LogGen.docLines(7L, d.toLong, 350))
+    assert(all.exists(_.contains("uid_overflow<")), "u16-overflow uid (MalformedPlayer data id)")
+    assert(all.exists(_.contains("junk_steam<")), "trailing-junk steam (Bot data id)")
+    assert(all.exists(_.contains("team_trick<")), "team-embedded ':N]' (diverging Player data id)")
+  }
+
+  test("classstats deaths are claimed by SubjectData id, not the interned sid (classstats.rs:119)") {
+    // Four shapes in one doc (see TfPipeline.claimDeaths):
+    //  A  normal player: claims its own bucket;
+    //  B  "O<70000><[U:1:5005]><Red>": interned Player(5005) via the ':5005]'
+    //     fast scan, SubjectData = MalformedPlayer (u16 overflow) -> the
+    //     finalize lookup MISSES -> deaths zero even though B died;
+    //  C  "J<7><[U:1:6006]x><Blue>": interned Player(6006), SubjectData =
+    //     Bot(7) -> C STEALS the roster bot's (uid 7) deaths bucket;
+    //  D  "T<9><[U:1:1001]><R:7777]d>": interned Player(7777) (team-embedded
+    //     ':7777]' wins the rightmost scan), SubjectData = Player(1001) = A's
+    //     id -> A (first-seen) already removed its bucket, D gets zeros.
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val a = """"A<2><[U:1:1001]><Red>""""
+    val b = """"O<70000><[U:1:5005]><Red>""""
+    val c = """"J<7><[U:1:6006]x><Blue>""""
+    val bot = """"bot<7><BOT><Red>""""
+    val dd = """"T<9><[U:1:1001]><R:7777]d>""""
+    val kp = """(attacker_position "1 2 3") (victim_position "4 5 6")"""
+    val lines = Vector(
+      s"""04/11/2021 - 13:53:20: $a spawned as "Scout"""",
+      s"""04/11/2021 - 13:53:21: World triggered "Round_Start"""",
+      s"""04/11/2021 - 13:53:22: $a killed $b with "scattergun" $kp""", // B bucket: death @scout
+      s"""04/11/2021 - 13:53:23: $b killed $a with "world" $kp""", // A bucket: death @unknown (B entry from kill target)
+      s"""04/11/2021 - 13:53:24: $a killed $bot with "scattergun" $kp""", // Bot(7) bucket: death @scout
+      s"""04/11/2021 - 13:53:25: $c say "borrowed"""",
+      s"""04/11/2021 - 13:53:26: $dd say "second claimant""""
+    )
+    val sim = ReferenceSim.run(lines)
+    assert(!sim.hardError)
+    val input = lines.zipWithIndex.map { case (l, i) =>
+      val toks = LogGen.tokenize(l)
+      graft.loggen.SeqRow("claim-doc", i.toLong, "src-0", toks, toks.length)
+    }.toDF()
+    val routed = TfPipeline.routed(TfPipeline.envelope(input))
+    val rows = TfPipeline
+      .perPlayer(routed, TfPipeline.subjectDim(routed))
+      .collect()
+      .sortBy(_.getLong(2))
+    assert(rows.map(_.getString(1)).toSeq == sim.perPlayer.map(_.steam3), "player universe")
+    for ((row, exp) <- rows.zip(sim.perPlayer)) {
+      assert(row.getSeq[Long](4) == exp.kills.toSeq, s"${exp.steam3} kills")
+      assert(row.getSeq[Long](5) == exp.deaths.toSeq, s"${exp.steam3} deaths")
+    }
+    // hand-derived reference values (not just batch == sim)
+    val unk = graft.expr.LineParser.classIndex("unknown")
+    val sct = graft.expr.LineParser.classIndex("scout")
+    val byAcct = sim.perPlayer.map(p => p.account -> p).toMap
+    val (pA, pB, pC, pD) = (byAcct(1001L), byAcct(5005L), byAcct(6006L), byAcct(7777L))
+    assert(pA.deaths(unk) == 1 && pA.deaths.sum == 1, "A keeps its own bucket (death by entry-less B)")
+    assert(pB.deaths.sum == 0, "B: MalformedPlayer data id -> deterministic miss -> zero deaths")
+    assert(pB.kills(sct) == 1, "B's kill of scout A still accrues (subject-keyed)")
+    assert(pC.deaths(sct) == 1 && pC.deaths.sum == 1, "C steals the bot's bucket via Bot(7) data id")
+    assert(pD.deaths.sum == 0, "D: A already claimed bucket Player(1001) -> default")
+    assert(pA.kills(unk) == 2 && pA.kills.sum == 2, "A killed B and the bot (both class-unknown)")
+  }
+
   test("routed rows preserve the token array exactly (per-row invariant)") {
     val input = LogGen.generate(spark, 2, 200, Seed).toDF()
     val env = TfPipeline.envelope(input)
