@@ -706,22 +706,60 @@ object TfPipeline {
     def leg(df: DataFrame, cols: Column*): DataFrame =
       df.select(Seq(col("doc_id"), col("sid")) ++ cols: _*)
 
-    val cs = classStats(routedDf)
-    // deaths are BUCKET-keyed in cs (raw kill-target interned id); re-key by
-    // the claiming output subject (classstats.rs finalize semantics) -- for
-    // every non-pathological subject claim key == own sid, so this leg
-    // reduces to "deaths of my own bucket"
-    val deathsClaimed = claimDeaths(cs.select("doc_id", "sid", "deaths"), dim)
+    // deaths are BUCKET-keyed in classStats output (raw kill-target interned
+    // id); the reference's finalize re-keys them by the claiming subject's
+    // SubjectData-id (classstats.rs:113-120, see [[claimDeaths]] for the
+    // semantics). Shape note: classStats is deliberately consumed ONCE --
+    // a second reference to its (explode + window + agg) subtree would
+    // re-execute it wholesale (measured 3x on the assembly leg). The tiny
+    // dim-derived claim mapping left-joins onto the aggregated cs rows
+    // (co-partitioned on (doc_id, sid): the join reuses cs's groupBy
+    // partitioning, only the claims side exchanges), and ONE explode emits
+    // both the in-place row (deaths kept when self-claimed) and the
+    // redirect row (deaths moved to a differing claimant) -- for every
+    // non-pathological subject this reduces to "deaths of my own bucket".
+    val cs = classStats(routedDf).alias("cs")
+    val wClaim = Window
+      .partitionBy("doc_id", "death_key")
+      .orderBy(col("first_line"), col("sid"))
+    val claims = dim
+      .filter(shiftrightunsigned(col("sid"), 32) === 1 && col("death_key").isNotNull)
+      .withColumn("rk", row_number().over(wClaim))
+      .filter(col("rk") === 1)
+      .select(col("doc_id").as("cl_doc"), col("death_key").as("bkey"), col("sid").as("claimant"))
+    val csClaimed = cs
+      .join(claims, col("cs.doc_id") === col("cl_doc") && col("cs.sid") === col("bkey"), "left")
+      .select(
+        col("cs.doc_id").as("doc_id"),
+        explode(
+          array(
+            struct(
+              col("cs.sid").as("sid"),
+              col("kills").as("kills"),
+              when(col("claimant") === col("cs.sid"), col("deaths")).as("deaths"),
+              col("assists").as("assists"),
+              col("damage").as("damage")
+            ),
+            struct(
+              when(col("claimant") =!= col("cs.sid"), col("claimant")).as("sid"),
+              nArr.as("kills"),
+              col("deaths").as("deaths"),
+              nArr.as("assists"),
+              nArr.as("damage")
+            )
+          )
+        ).as("e")
+      )
+      .select(col("doc_id"), col("e.sid").as("sid"), col("e.kills").as("kills"),
+        col("e.deaths").as("deaths"), col("e.assists").as("assists"), col("e.damage").as("damage"))
+      .filter(col("sid").isNotNull)
 
     val unioned =
       leg(players, col("steam3"), col("steam64"), col("name"),
         nArr.as("kills"), nArr.as("deaths"), nArr.as("assists"), nArr.as("damage"),
         nMap.as("heals_by_account"), nMedic.as("medic"))
-        .unionByName(leg(cs, nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
-          col("kills"), nArr.as("deaths"), col("assists"), col("damage"),
-          nMap.as("heals_by_account"), nMedic.as("medic")))
-        .unionByName(leg(deathsClaimed, nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
-          nArr.as("kills"), col("deaths"), nArr.as("assists"), nArr.as("damage"),
+        .unionByName(leg(csClaimed, nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
+          col("kills"), col("deaths"), col("assists"), col("damage"),
           nMap.as("heals_by_account"), nMedic.as("medic")))
         .unionByName(leg(healSpread(routedDf), nStr.as("steam3"), nLong.as("steam64"), nStr.as("name"),
           nArr.as("kills"), nArr.as("deaths"), nArr.as("assists"), nArr.as("damage"),
