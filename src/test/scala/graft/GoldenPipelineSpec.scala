@@ -232,6 +232,28 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(pA.kills(unk) == 2 && pA.kills.sum == 2, "A killed B and the bot (both class-unknown)")
   }
 
+  test("perPlayer assembly plan contains exactly ONE classStats subtree (no double execution)") {
+    // Regression guard for the double-reference trap: a DataFrame referenced
+    // from two union branches is EXECUTED twice -- Spark does no cross-branch
+    // subtree CSE. The deaths-claim redirect must ride the single classStats
+    // aggregate (join + explode), not a second reference to it. The
+    // classStats contribution explode is identifiable by its role literals.
+    val input = LogGen.generate(spark, 2, 200, Seed).toDF()
+    val routed = TfPipeline.routed(TfPipeline.envelope(input))
+    val plan = TfPipeline
+      .perPlayerAssembled(routed, TfPipeline.subjectDim(routed))
+      .queryExecution
+      .optimizedPlan
+    var csSubtrees = 0
+    plan.foreach {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        val s = g.generator.toString
+        if (s.contains("kt") && s.contains("ka")) csSubtrees += 1
+      case _ =>
+    }
+    assert(csSubtrees == 1, s"expected exactly one classStats explode subtree, found $csSubtrees")
+  }
+
   test("routed rows preserve the token array exactly (per-row invariant)") {
     val input = LogGen.generate(spark, 2, 200, Seed).toDF()
     val env = TfPipeline.envelope(input)
