@@ -374,15 +374,18 @@ object TfPipeline {
     * claiming subject; unclaimed buckets and claimants whose key misses are
     * dropped (callers default deaths to zeros). Shape: one tiny window + one
     * union-merge exchange, both keyed (doc_id, x) -- no join, skew-free. */
-  def claimDeaths(buckets: DataFrame, dim: DataFrame): DataFrame = {
-    val wClaim = Window
-      .partitionBy("doc_id", "death_key")
-      .orderBy(col("first_line"), col("sid"))
-    val claims = dim
+  /** (doc_id, bkey, claimant): which player-interned subject claims each
+    * deaths bucket -- the first-seen subject per (doc, death_key), as a
+    * single min_by hash aggregate (no sort/window; first_line is unique per
+    * subject within a doc, sid is a formal tiebreak). */
+  private def deathClaims(dim: DataFrame): DataFrame =
+    dim
       .filter(shiftrightunsigned(col("sid"), 32) === 1 && col("death_key").isNotNull)
-      .withColumn("rk", row_number().over(wClaim))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("death_key").as("bkey"), col("sid").as("claimant"))
+      .groupBy(col("doc_id"), col("death_key").as("bkey"))
+      .agg(min_by(col("sid"), struct(col("first_line"), col("sid"))).as("claimant"))
+
+  def claimDeaths(buckets: DataFrame, dim: DataFrame): DataFrame = {
+    val claims = deathClaims(dim)
     buckets
       .select(col("doc_id"), col("sid").as("bkey"), col("deaths"),
         lit(null).cast("bigint").as("claimant"))
@@ -719,14 +722,7 @@ object TfPipeline {
     // redirect row (deaths moved to a differing claimant) -- for every
     // non-pathological subject this reduces to "deaths of my own bucket".
     val cs = classStats(routedDf).alias("cs")
-    val wClaim = Window
-      .partitionBy("doc_id", "death_key")
-      .orderBy(col("first_line"), col("sid"))
-    val claims = dim
-      .filter(shiftrightunsigned(col("sid"), 32) === 1 && col("death_key").isNotNull)
-      .withColumn("rk", row_number().over(wClaim))
-      .filter(col("rk") === 1)
-      .select(col("doc_id").as("cl_doc"), col("death_key").as("bkey"), col("sid").as("claimant"))
+    val claims = deathClaims(dim).withColumnRenamed("doc_id", "cl_doc")
     val csClaimed = cs
       .join(claims, col("cs.doc_id") === col("cl_doc") && col("cs.sid") === col("bkey"), "left")
       .select(
