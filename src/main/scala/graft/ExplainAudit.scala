@@ -63,6 +63,12 @@ object ExplainAudit {
       graft.ops.Similarity.ivfTopKWithCentroids(
         e, graft.ops.Similarity.trainCentroids(e, 8, maxIter = 2), 3, nProbe = 2, maxCell = 500)
     }
+    section("q_decontam (expect BroadcastHashJoin of the eval gram-hash set; train side map-only until the per-doc aggregate)") {
+      SparkEntry.queries("q_decontam")(spark, sfDir)
+    }
+    section("q_sample_stratified (expect a pure Filter over the scan -- zero exchange, zero state)") {
+      SparkEntry.queries("q_sample_stratified")(spark, sfDir)
+    }
     section("chunked bucket pairs, cap > 2048 (expect a user-numbered Exchange spreading chunk-pair rows BEFORE the pair explode)") {
       val ids = spark.range(0, 3000).select(lit("hot").as("k"), col("id"))
       val buckets = ids.groupBy("k")

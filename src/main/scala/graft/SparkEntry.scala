@@ -626,6 +626,27 @@ object SparkEntry {
         TextOps.wordSetFingerprint(words(col("text"))).as("wordset_fp"),
         TextOps.rollingFingerprint(words(col("text"))).as("rolling_fp")
       )),
+    "q_decontam" -> ((s, d) => {
+      // train/eval decontamination: 8-gram overlap of every train doc vs the
+      // broadcast eval-set gram hashes (TextOps.ngramOverlap); the doc_id
+      // mod-97 split plays the held-out benchmark
+      val docs = T(s, d, "documents")
+      TextOps
+        .ngramOverlap(
+          docs.filter(col("doc_id") % 97 >= 5),
+          docs.filter(col("doc_id") % 97 < 5),
+          n = 8
+        )
+        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_matched").cast("long").as("n_matched"))
+    }),
+    "q_sample_stratified" -> ((s, d) =>
+      // deterministic per-stratum hash sampling (zero-shuffle keyed filter):
+      // en at 200 permille, zh at 50, everything else 100
+      TextOps
+        .hashSample(T(s, d, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 200, "zh" -> 50), defaultPermille = 100)
+        .select(col("doc_id"), col("lang"), col("source"))),
     "q_skew_salted" -> ((s, d) => {
       // two-stage salted aggregation (explicit skew handling) must equal the
       // plain group-by oracle
@@ -1036,6 +1057,22 @@ object SparkEntry {
         |      (acc, e) -> [(acc[1] + e[1] * acc[2]) % 2147483647, (acc[2] * 31) % 2147483647]) AS roll
         |  FROM w)
         |SELECT doc_id, wordset_fp, roll[1] AS rolling_fp FROM ws""".stripMargin,
+    "q_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, (doc_id % 97 < 5) AS is_eval
+        |           FROM documents),
+        |g AS (SELECT doc_id, is_eval,
+        |             unnest(list_distinct(list_transform(range(len(ws) - 7),
+        |                    i -> ('0x' || substr(md5(array_to_string(ws[(i+1):(i+8)], ' ')), 1, 15))::BIGINT))) AS g
+        |      FROM w),
+        |ev AS (SELECT DISTINCT g FROM g WHERE is_eval)
+        |SELECT g.doc_id, count(*) AS n_grams, count(ev.g) AS n_matched
+        |FROM g LEFT JOIN ev USING (g)
+        |WHERE NOT g.is_eval
+        |GROUP BY 1""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+        |      < (CASE WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 50 ELSE 100 END)""".stripMargin,
     "q_skew_salted" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
     "q_union_distinct" ->

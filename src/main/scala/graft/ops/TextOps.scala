@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -76,6 +76,51 @@ object TextOps {
       ),
       lit(2147483647L)
     )
+
+  /** Train/eval DECONTAMINATION by exact n-gram overlap (the standard
+    * benchmark-leakage check in LLM data pipelines): for every train doc,
+    * how many of its distinct word n-grams appear anywhere in the eval set.
+    *
+    * 100 TB shape: the eval side (benchmarks are small) reduces to a
+    * distinct 60-bit-hash set and BROADCASTS; the train side is a map-only
+    * scan (shingle kernel + array_distinct per row -- distinctness without
+    * a shuffle) plus ONE aggregation keyed by doc_id. No train-side
+    * self-join, no skew (the broadcast hash join fans out per-gram).
+    * Docs with fewer than n words produce no grams and drop from the
+    * output (both engines agree). Hashes are [[stableHash60]], so the
+    * DuckDB twin reproduces the join exactly. */
+  def ngramOverlap(train: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      explode(
+        array_distinct(transform(Dedup.shingles(split(col("text"), " "), n), s => stableHash60(s)))
+      ).as("g")
+    )
+    val evalSet = grams(evalDocs).select("g").distinct().withColumn("hit", lit(1))
+    grams(train)
+      .join(broadcast(evalSet), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_matched"))
+  }
+
+  /** Deterministic per-stratum hash sampling: keep a row iff
+    * hash60(stratum:key) mod 1000 < the stratum's permille rate. Pure
+    * filter -- zero shuffle, zero state, reproducible on any engine and any
+    * partitioning, stable under reruns/backfills (the classic keyed-sample
+    * design for 100 TB pipelines: sampling rate changes don't resample
+    * unrelated keys). */
+  def hashSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      permille: Map[String, Int],
+      defaultPermille: Int
+  ): DataFrame = {
+    val rate = permille.foldRight(lit(defaultPermille): Column) { case ((s, r), acc) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(stableHash60(concat_ws(":", stratum, key)), lit(1000L)) < rate)
+  }
 
   /** Rolling (positional polynomial) fingerprint over the word sequence:
     * h = sum(hash(w_i) * 31^i) mod p. Order-sensitive document identity. */

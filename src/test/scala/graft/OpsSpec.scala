@@ -458,6 +458,46 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1L)._2 == r(2L)._2)
   }
 
+  test("ngram overlap decontamination: planted leak found, short docs drop, counts exact") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val train = Seq(
+      (10L, s"prefix $eight suffix tail more words here"), // contains the leaked 8-gram
+      (11L, "a completely different document with eight words plus padding tokens"),
+      (12L, "too short") // < 8 words -> no grams -> absent from output
+    ).toDF("doc_id", "text")
+    val eval = Seq((90L, s"other lead-in $eight closing words")).toDF("doc_id", "text")
+    val got = TextOps
+      .ngramOverlap(train, eval, n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(!got.contains(12L), "sub-n doc must drop (both engines agree)")
+    // doc 10: 14 words -> 7 distinct 8-grams; exactly one equals the leak
+    assert(got(10L) == ((7L, 1L)), s"leaked doc: ${got(10L)}")
+    assert(got(11L)._2 == 0L, "clean doc has zero matches")
+  }
+
+  test("hash sampling: deterministic, stratified rates bite, keyed-subset monotone") {
+    val docs = (0L until 4000L)
+      .map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    def sample(enRate: Int) = TextOps
+      .hashSample(docs, col("doc_id"), col("lang"), Map("en" -> enRate, "zh" -> 50), 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    val s1 = sample(200)
+    assert(s1 == sample(200), "deterministic across runs")
+    val en = s1.count(_._2 == "en").toDouble / 2000
+    val zh = s1.count(_._2 == "zh").toDouble / 2000
+    assert(math.abs(en - 0.2) < 0.05 && math.abs(zh - 0.05) < 0.03,
+      s"stratum rates: en=$en zh=$zh")
+    // keyed-sample property: raising one stratum's rate only ADDS rows --
+    // reruns/backfills never resample unrelated keys
+    val s2 = sample(400)
+    assert(s1.subsetOf(s2), "rate increase must be a superset (keyed sampling)")
+  }
+
   test("language id picks marker-heavy language deterministically") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
