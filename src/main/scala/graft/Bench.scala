@@ -220,6 +220,7 @@ object Bench {
       "q_embed_neardup_ann" -> (() => force(SparkEntry.queries("q_embed_neardup_ann")(spark, sfDir))),
       "q_decontam" -> (() => force(SparkEntry.queries("q_decontam")(spark, sfDir))),
       "q_sample_stratified" -> (() => force(SparkEntry.queries("q_sample_stratified")(spark, sfDir))),
+      "q_repetition" -> (() => force(SparkEntry.queries("q_repetition")(spark, sfDir))),
       "tf_ann_lsh" -> (() => force {
         import org.apache.spark.sql.functions._
         // size-aware parametrization (the sf-independent oracle query fixes

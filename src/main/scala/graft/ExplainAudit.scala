@@ -69,6 +69,9 @@ object ExplainAudit {
     section("q_sample_stratified (expect a pure Filter over the scan -- zero exchange, zero state)") {
       SparkEntry.queries("q_sample_stratified")(spark, sfDir)
     }
+    section("q_repetition (expect map-side Project/Filter only -- the top-bigram count is a sorted-run fold, no explode, no Exchange)") {
+      SparkEntry.queries("q_repetition")(spark, sfDir)
+    }
     section("chunked bucket pairs, cap > 2048 (expect a user-numbered Exchange spreading chunk-pair rows BEFORE the pair explode)") {
       val ids = spark.range(0, 3000).select(lit("hot").as("k"), col("id"))
       val buckets = ids.groupBy("k")

@@ -640,6 +640,10 @@ object SparkEntry {
         .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
           col("n_matched").cast("long").as("n_matched"))
     }),
+    "q_repetition" -> ((s, d) =>
+      // Gopher-style within-doc repetition signals, entirely map-side (the
+      // top-bigram count is a sorted-run fold, not an explode+groupBy)
+      TextOps.repetitionMetrics(T(s, d, "documents"))),
     "q_sample_stratified" -> ((s, d) =>
       // deterministic per-stratum hash sampling (zero-shuffle keyed filter):
       // en at 200 permille, zh at 50, everything else 100
@@ -1069,6 +1073,20 @@ object SparkEntry {
         |FROM g LEFT JOIN ev USING (g)
         |WHERE NOT g.is_eval
         |GROUP BY 1""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+        |             unnest(list_transform(range(len(ws) - 1),
+        |                    i -> array_to_string(ws[(i+1):(i+2)], ' '))) AS g
+        |      FROM w),
+        |c AS (SELECT doc_id, n_words, n_distinct, g, count(*) AS c
+        |      FROM b GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_bigram_n,
+        |  CAST((1000 * (n_words - n_distinct)) // n_words AS BIGINT) AS dup_word_permille,
+        |  CAST((1000 * max(c)) // sum(c) AS BIGINT) AS top_bigram_permille
+        |FROM c GROUP BY doc_id, n_words, n_distinct""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000

@@ -122,6 +122,59 @@ object TextOps {
     df.filter(pmod(stableHash60(concat_ws(":", stratum, key)), lit(1000L)) < rate)
   }
 
+  /** Count of the most frequent element in a (non-null-element) string
+    * array, computed MAP-SIDE as the longest equal-run of the sorted array
+    * -- no explode, no per-gram shuffle; value-identical to
+    * `max(count) GROUP BY element`. Empty array -> 0. */
+  def topElementCount(arr: Column): Column =
+    aggregate(
+      sort_array(arr),
+      struct(lit(0L).as("best"), lit(0L).as("run"), lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val run2 = when(acc.getField("prev") === x, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(greatest(acc.getField("best"), run2).as("best"), run2.as("run"), x.as("prev"))
+      }
+    ).getField("best")
+
+  /** Within-document repetition metrics (Gopher-style quality signals):
+    * duplicate-word fraction and top-bigram fraction, integer permille.
+    * Entirely map-side (scan -> project -> filter): word distinctness via
+    * array_distinct, the top-bigram count via [[topElementCount]] -- zero
+    * shuffle at any scale. Docs with fewer than 2 words have no bigrams and
+    * are dropped (the per-gram unnest oracle drops them identically). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .select(
+        col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        Dedup.shingles(w, 2).as("bg")
+      )
+      .filter(size(col("bg")) > 0)
+      // two-step projection: top_bigram_n is referenced twice below, and
+      // CollapseProject never inlines a non-cheap multi-referenced producer
+      // -- the run-length fold evaluates once per row
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_distinct"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        topElementCount(col("bg")).as("top_bigram_n")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_distinct"),
+        col("n_bigrams"),
+        col("top_bigram_n"),
+        floor(lit(1000L) * (col("n_words") - col("n_distinct")) / col("n_words"))
+          .cast("long").as("dup_word_permille"),
+        floor(lit(1000L) * col("top_bigram_n") / col("n_bigrams"))
+          .cast("long").as("top_bigram_permille")
+      )
+  }
+
   /** Rolling (positional polynomial) fingerprint over the word sequence:
     * h = sum(hash(w_i) * 31^i) mod p. Order-sensitive document identity. */
   def rollingFingerprint(words: Column): Column = {

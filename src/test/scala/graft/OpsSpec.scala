@@ -498,6 +498,44 @@ class OpsSpec extends AnyFunSuite {
     assert(s1.subsetOf(s2), "rate increase must be a superset (keyed sampling)")
   }
 
+  test("repetition metrics: hand values, sub-2-word drop, fold == explode+groupBy") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 5 words, 2 distinct; bigrams {a b, b a, a b, b a} -> top 2/4
+      (2L, "x y"), // single bigram
+      (3L, "solo") // no bigrams -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps
+      .repetitionMetrics(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got(1L) == ((5L, 2L, 4L, 2L, 600L, 500L)))
+    assert(got(2L) == ((2L, 2L, 1L, 1L, 0L, 1000L)))
+    assert(!got.contains(3L))
+
+    // differential: the map-side sorted-run fold equals explode + groupBy max
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L)
+      .map(i => (i, Seq.fill(3 + rnd.nextInt(60))(s"w${rnd.nextInt(8)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaFold = TextOps
+      .repetitionMetrics(corpus)
+      .select("doc_id", "top_bigram_n")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val viaGroup = corpus
+      .select(col("doc_id"), explode(graft.ops.Dedup.shingles(split(col("text"), " "), 2)).as("g"))
+      .groupBy("doc_id", "g")
+      .count()
+      .groupBy("doc_id")
+      .agg(max("count").as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(viaFold == viaGroup)
+  }
+
   test("language id picks marker-heavy language deterministically") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
