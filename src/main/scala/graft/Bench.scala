@@ -221,6 +221,7 @@ object Bench {
       "q_decontam" -> (() => force(SparkEntry.queries("q_decontam")(spark, sfDir))),
       "q_sample_stratified" -> (() => force(SparkEntry.queries("q_sample_stratified")(spark, sfDir))),
       "q_repetition" -> (() => force(SparkEntry.queries("q_repetition")(spark, sfDir))),
+      "q_dedup_cc" -> (() => force(SparkEntry.queries("q_dedup_cc")(spark, sfDir))),
       "tf_ann_lsh" -> (() => force {
         import org.apache.spark.sql.functions._
         // size-aware parametrization (the sf-independent oracle query fixes

@@ -76,6 +76,38 @@ object SparkEntry {
       .when(c === lit(Float.PositiveInfinity), lit(999999f))
       .otherwise(c)
 
+  /** DuckDB CTE chain producing the MinHash-LSH candidate pairs (k=8,
+    * bands=4x2, md5 double-hashing) -- the exact twin of
+    * `Dedup.lshCandidates(..., 8, 2, fast = false)`. Shared by the
+    * tf_lsh_candidates oracle and the connected-components oracle. */
+  private val lshPairCtes: String = {
+    val sigs = (0 until 8)
+      .map { i =>
+        s"""    list_min(list_transform(sh, s -> ((('0x' || substr(md5(s), 1, 15))::BIGINT + $i * (('0x' || substr(md5('x:' || s), 1, 15))::BIGINT % 9007199254740992)) % 1152921504606846976))) AS sig_$i"""
+      }
+      .mkString(",\n")
+    val bandKeys = (0 until 4)
+      .map(b => s"WHEN $b THEN sig_${2 * b}::VARCHAR || '|' || sig_${2 * b + 1}::VARCHAR")
+      .mkString(" ")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) < 3 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+       |  FROM d),
+       |sig AS (
+       |  SELECT doc_id,
+       |$sigs
+       |  FROM sh WHERE len(sh) > 0),
+       |b AS (
+       |  SELECT doc_id, band, CASE band $bandKeys END AS key
+       |  FROM sig, range(4) t(band)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ====== TF pipeline: flattened driver-comparable outputs; oracles are
     // ====== ReferenceSim expectation tables written by Verify (the sim is
@@ -234,6 +266,22 @@ object SparkEntry {
       val docs = T(s, d, "documents")
         .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
       Dedup.lshCandidates(docs, col("doc_id"), col("sh"), 8, 2, fast = false)
+    }),
+    "q_dedup_cc" -> ((s, d) => {
+      // cluster resolution: LSH candidate pairs -> connected components ->
+      // one canonical (min-id) doc per duplicate group, singletons kept
+      val docs = T(s, d, "documents")
+      val sh = docs.select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
+      val pairs = Dedup.lshCandidates(sh, col("doc_id"), col("sh"), 8, 2, fast = false)
+      val cc = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      docs
+        .select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id")).cast("long").as("is_canonical")
+        )
     }),
     "tf_ann_lsh" -> ((s, d) => {
       val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -749,32 +797,22 @@ object SparkEntry {
         |  FROM h, range(60) t(bit) GROUP BY 1, 2)
         |SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
         |FROM v GROUP BY 1""".stripMargin,
-    "tf_lsh_candidates" -> {
-      val sigs = (0 until 8)
-        .map { i =>
-          s"""    list_min(list_transform(sh, s -> ((('0x' || substr(md5(s), 1, 15))::BIGINT + $i * (('0x' || substr(md5('x:' || s), 1, 15))::BIGINT % 9007199254740992)) % 1152921504606846976))) AS sig_$i"""
-        }
-        .mkString(",\n")
-      val bandKeys = (0 until 4)
-        .map(b => s"WHEN $b THEN sig_${2 * b}::VARCHAR || '|' || sig_${2 * b + 1}::VARCHAR")
-        .mkString(" ")
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(w) < 3 THEN []
-         |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
-         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-         |  FROM d),
-         |sig AS (
-         |  SELECT doc_id,
-         |$sigs
-         |  FROM sh WHERE len(sh) > 0),
-         |b AS (
-         |  SELECT doc_id, band, CASE band $bandKeys END AS key
-         |  FROM sig, range(4) t(band))
-         |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |FROM b l JOIN b r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id""".stripMargin
-    },
+    "tf_lsh_candidates" -> s"WITH $lshPairCtes\nSELECT id_a, id_b FROM pairs",
+    "q_dedup_cc" ->
+      // min-label transitive closure: propagate every label smaller than the
+      // target node (the component min always travels, everything else is
+      // bounded); DuckDB's UNION recursion dedupes rows until fixpoint
+      s"""WITH RECURSIVE $lshPairCtes,
+         |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.t AS id, r.lbl AS lbl FROM reach r JOIN e ON e.s = r.id
+         |  WHERE r.lbl < e.t)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id,
+         |  CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM reach GROUP BY id""".stripMargin,
     "tf_ann_lsh" ->
       """WITH e AS (
         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,

@@ -536,6 +536,49 @@ class OpsSpec extends AnyFunSuite {
     assert(viaFold == viaGroup)
   }
 
+  test("connected components: chains, orientation/dup tolerance, fixpoint == brute closure") {
+    // path graph 1-2-3-4 (diameter 3), a triangle with mixed orientation and
+    // duplicate edges, and an isolated pair
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), // path, mixed orientation
+      (10L, 11L), (11L, 12L), (12L, 10L), (10L, 11L), // triangle + dup edge
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup
+      .connectedComponents(pairs, col("id_a"), col("id_b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // differential vs brute-force union-find on a random graph (includes
+    // long chains: sparse edges over a small id space)
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(e => e._1 != e._2)
+    val parent = Array.tabulate(60L.toInt)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = nodes.map { n =>
+      // canonical label = min node id in the component
+      val root = find(n.toInt)
+      val members = nodes.filter(m => find(m.toInt) == root)
+      n -> members.min
+    }.toMap
+    val ccGot = Dedup
+      .connectedComponents(es.toDF("id_a", "id_b"), col("id_a"), col("id_b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(ccGot == expect)
+
+    // empty pair list -> empty result, no convergence failure
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"), col("id_a"), col("id_b")).count() == 0L)
+  }
+
   test("language id picks marker-heavy language deterministically") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
