@@ -222,6 +222,8 @@ object Bench {
       "q_sample_stratified" -> (() => force(SparkEntry.queries("q_sample_stratified")(spark, sfDir))),
       "q_repetition" -> (() => force(SparkEntry.queries("q_repetition")(spark, sfDir))),
       "q_dedup_cc" -> (() => force(SparkEntry.queries("q_dedup_cc")(spark, sfDir))),
+      "q_pack_chunks" -> (() => force(SparkEntry.queries("q_pack_chunks")(spark, sfDir))),
+      "q_quality_cut" -> (() => force(SparkEntry.queries("q_quality_cut")(spark, sfDir))),
       "tf_ann_lsh" -> (() => force {
         import org.apache.spark.sql.functions._
         // size-aware parametrization (the sf-independent oracle query fixes

@@ -72,6 +72,12 @@ object ExplainAudit {
     section("q_repetition (expect map-side Project/Filter only -- the top-bigram count is a sorted-run fold, no explode, no Exchange)") {
       SparkEntry.queries("q_repetition")(spark, sfDir)
     }
+    section("q_pack_chunks (expect ONE hash-partition Exchange on shard + one per-shard Window sort -- no global order)") {
+      SparkEntry.queries("q_pack_chunks")(spark, sfDir)
+    }
+    section("q_quality_cut (expect one Window sort per source + BroadcastHashJoin for the per-stratum counts -- no second count-over-window pass)") {
+      SparkEntry.queries("q_quality_cut")(spark, sfDir)
+    }
     section("chunked bucket pairs, cap > 2048 (expect a user-numbered Exchange spreading chunk-pair rows BEFORE the pair explode)") {
       val ids = spark.range(0, 3000).select(lit("hot").as("k"), col("id"))
       val buckets = ids.groupBy("k")

@@ -692,6 +692,26 @@ object SparkEntry {
       // Gopher-style within-doc repetition signals, entirely map-side (the
       // top-bigram count is a sorted-run fold, not an explode+groupBy)
       TextOps.repetitionMetrics(T(s, d, "documents"))),
+    "q_pack_chunks" -> ((s, d) =>
+      // pretraining sequence assembly plan: concatenate-and-chunk packing
+      // into 1024-token sequences over 32 deterministic hash shards
+      TextOps.packChunks(T(s, d, "documents"), col("doc_id"), TextOps.wsTokenCount(col("text")), 32, 1024L)),
+    "q_quality_cut" -> ((s, d) =>
+      // per-source quality gate: keep the best 200 permille of each source
+      TextOps
+        .stratumTopPermille(
+          T(s, d, "documents"),
+          col("source"),
+          TextOps.qualityScore(col("text")).cast("long"),
+          col("doc_id"),
+          200
+        )
+        .select(
+          col("key").as("doc_id"),
+          col("stratum").as("source"),
+          col("score").as("quality"),
+          col("rk").cast("long").as("rk")
+        )),
     "q_sample_stratified" -> ((s, d) =>
       // deterministic per-stratum hash sampling (zero-shuffle keyed filter):
       // en at 200 permille, zh at 50, everything else 100
@@ -1125,6 +1145,46 @@ object SparkEntry {
         |  CAST((1000 * (n_words - n_distinct)) // n_words AS BIGINT) AS dup_word_permille,
         |  CAST((1000 * max(c)) // sum(c) AS BIGINT) AS top_bigram_permille
         |FROM c GROUP BY doc_id, n_words, n_distinct""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS shard,
+        |    ('0x' || substr(md5('o:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+    |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, start_tok,
+        |  start_tok // 1024 AS seq_id, start_tok % 1024 AS seq_off
+        |FROM c""".stripMargin,
+    "q_quality_cut" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |    length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS punct
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, source, n_chars, n_tok, punct,
+        |    CASE WHEN n_tok = 0 THEN 0 ELSE floor(n_chars * 100 / n_tok) END AS avg_len100
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CAST(greatest(least(least(n_chars, 400)
+        |      + (CASE WHEN avg_len100 BETWEEN 300 AND 900 THEN 400 ELSE 100 END)
+        |      + 200 - least(punct * 10, 200), 1000), 0) AS BIGINT) AS quality
+        |  FROM x),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM q)
+        |SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE (rk - 1) * 1000 < cnt * 200""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000

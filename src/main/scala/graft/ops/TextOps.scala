@@ -175,6 +175,75 @@ object TextOps {
       )
   }
 
+  /** Sequence-packing plan for pretraining (concatenate-and-chunk): within
+    * each of `nShards` deterministic hash shards, docs line up in
+    * hash-of-id order (a rerun-stable stand-in for corpus shuffling), their
+    * token streams concatenate, and the stream is cut into fixed
+    * `budget`-token sequences. Returns per-doc placement -- shard, token
+    * start offset, the sequence id holding the doc's first token and the
+    * offset inside it -- i.e. the assembly plan a writer job executes.
+    *
+    * Scale shape: ONE exchange (hash-partition by shard) + one per-shard
+    * window sort. Shards bound both the sort width and the downstream
+    * writer parallelism; at 100 TB pick nShards ~ cluster cores so each
+    * shard's cumsum is an independent task -- there is no global order,
+    * which is the point: a single total-order cumsum would serialize the
+    * corpus through one range-partitioned sort. */
+  def packChunks(docs: DataFrame, id: Column, nTokens: Column, nShards: Int, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      id.as("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      pmod(stableHash60(id), lit(nShards.toLong)).as("shard"),
+      stableHash60(concat(lit("o:"), id.cast("string"))).as("__ord")
+    )
+    val w = Window
+      .partitionBy("shard")
+      .orderBy(col("__ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .select(
+        col("doc_id"),
+        col("shard"),
+        col("n_tokens"),
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("start_tok")
+      )
+      .select(
+        col("doc_id"),
+        col("shard"),
+        col("n_tokens"),
+        col("start_tok"),
+        floor(col("start_tok") / budget).cast("long").as("seq_id"),
+        (col("start_tok") % budget).as("seq_off")
+      )
+  }
+
+  /** Per-stratum top-permille gate (quality filtering): keep a row when its
+    * deterministic rank within `stratum` (by `score` desc, `key` asc -- no
+    * tie ambiguity) falls in the best `keepPermille`/1000 of the stratum.
+    * Integer arithmetic only: (rk-1)*1000 < keepPermille*cnt.
+    *
+    * Scale shape: one window sort per stratum for the rank + a broadcast
+    * of the per-stratum counts (strata are few: sources/languages). The
+    * count comes from a groupBy dim, NOT a second count-over-window pass
+    * over the sorted frame. */
+  def stratumTopPermille(
+      df: DataFrame,
+      stratum: Column,
+      score: Column,
+      key: Column,
+      keepPermille: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(stratum.as("stratum"), score.as("score"), key.as("key"))
+    val cnt = base.groupBy("stratum").agg(count(lit(1)).as("cnt"))
+    val rk = row_number().over(Window.partitionBy("stratum").orderBy(col("score").desc, col("key")))
+    base
+      .select(col("stratum"), col("score"), col("key"), rk.as("rk"))
+      .join(broadcast(cnt), Seq("stratum"))
+      .filter((col("rk") - 1L) * 1000L < col("cnt") * keepPermille)
+  }
+
   /** Rolling (positional polynomial) fingerprint over the word sequence:
     * h = sum(hash(w_i) * 31^i) mod p. Order-sensitive document identity. */
   def rollingFingerprint(words: Column): Column = {

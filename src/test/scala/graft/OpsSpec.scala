@@ -579,6 +579,45 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"), col("id_a"), col("id_b")).count() == 0L)
   }
 
+  test("packChunks: per-shard prefix-sum invariants, chunk arithmetic, rerun stability") {
+    val docs = (1L to 200L).map(i => (i, Seq.fill(1 + (i % 7).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    def run() =
+      TextOps
+        .packChunks(docs, col("doc_id"), TextOps.wsTokenCount(col("text")), 4, 10L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val rows = run()
+    assert(rows.length == 200)
+    // within each shard, start offsets are exactly the prefix sums: sorted
+    // by start, each doc starts where the previous ended
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3)
+        case _ =>
+      }
+    }
+    // chunk arithmetic consistent with the budget
+    rows.foreach { case (_, _, _, start, seqId, seqOff) =>
+      assert(seqId == start / 10L && seqOff == start % 10L)
+    }
+    assert(run().sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq, "packing plan must be rerun-stable")
+  }
+
+  test("stratumTopPermille: integer rank gate, deterministic ties, per-stratum counts") {
+    val df = ((1 to 10).map(i => ("A", i.toLong, i.toLong)) ++
+      (1 to 4).map(i => ("B", 5L, 100L + i))).toDF("src", "q", "id")
+    val kept = TextOps
+      .stratumTopPermille(df, col("src"), col("q"), col("id"), 200)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
+      .toSet
+    // A: 10 rows, keep rk<=2 -> the two best scores (10, 9 -> ids 10, 9)
+    // B: 4 rows all tied, keep rk=1 -> smallest id wins the tie
+    assert(kept == Set(("A", 10L, 1), ("A", 9L, 2), ("B", 101L, 1)))
+  }
+
   test("language id picks marker-heavy language deterministically") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
