@@ -224,6 +224,7 @@ object Bench {
       "q_dedup_cc" -> (() => force(SparkEntry.queries("q_dedup_cc")(spark, sfDir))),
       "q_pack_chunks" -> (() => force(SparkEntry.queries("q_pack_chunks")(spark, sfDir))),
       "q_quality_cut" -> (() => force(SparkEntry.queries("q_quality_cut")(spark, sfDir))),
+      "q_mix_weights" -> (() => force(SparkEntry.queries("q_mix_weights")(spark, sfDir))),
       "tf_ann_lsh" -> (() => force {
         import org.apache.spark.sql.functions._
         // size-aware parametrization (the sf-independent oracle query fixes

@@ -696,6 +696,10 @@ object SparkEntry {
       // pretraining sequence assembly plan: concatenate-and-chunk packing
       // into 1024-token sequences over 32 deterministic hash shards
       TextOps.packChunks(T(s, d, "documents"), col("doc_id"), TextOps.wsTokenCount(col("text")), 32, 1024L)),
+    "q_mix_weights" -> ((s, d) =>
+      // domain-mixture reweighting: per-(lang, source) token mass and the
+      // uniform-target resampling weight in ppm
+      TextOps.mixtureWeights(T(s, d, "documents"), Seq("lang", "source"), TextOps.wsTokenCount(col("text")))),
     "q_quality_cut" -> ((s, d) =>
       // per-source quality gate: keep the best 200 permille of each source
       TextOps
@@ -1161,6 +1165,17 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tokens, start_tok,
         |  start_tok // 1024 AS seq_id, start_tok % 1024 AS seq_off
         |FROM c""".stripMargin,
+    "q_mix_weights" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT sum(n_tokens) AS tot, count(*) AS ns FROM t)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  CAST(1000000 * g.tot // (g.ns * n_tokens) AS BIGINT) AS weight_ppm
+        |FROM t, g""".stripMargin,
     "q_quality_cut" ->
       """WITH m AS (
         |  SELECT doc_id, source, length(text) AS n_chars,

@@ -377,25 +377,32 @@ object Dedup {
       // neighbors (and the node itself) re-attach to the neighborhood min
       val sm = min(col("lo")).over(Window.partitionBy("hi"))
       val withM = large.select(col("hi"), col("lo"), sm.as("m"))
-      val next = withM
+      val nextPlan = withM
         .select(col("hi"), col("m").as("lo"))
         .union(withM.filter(col("lo") =!= col("m")).select(col("lo").as("hi"), col("m").as("lo")))
         .distinct()
-        .localCheckpoint()
+      // eager localCheckpoint each round: ONE compute pass, then the
+      // convergence probe and the next round's two union branches read the
+      // materialized partitions. (A persist-marked plan is worse here: the
+      // probe references `next` twice and an uncached first action executes
+      // the whole round subtree once per branch -- no cross-branch CSE.)
+      val next = nextPlan.localCheckpoint()
       // converged when the edge set is a star forest: every node points at
-      // exactly one (root) node, and no root is itself re-attached
-      val multiParent = next
-        .groupBy("hi")
-        .agg(min("lo").as("mn"), max("lo").as("mx"))
-        .filter(col("mn") =!= col("mx"))
+      // exactly one (root) node, and no root is itself re-attached. ONE
+      // probe job: per node, distinct-parent count and whether it occurs
+      // on both sides of an edge.
+      val loType = next.schema("lo").dataType
+      val bad = next
+        .select(col("hi").as("n"), col("lo"))
+        .union(next.select(col("lo").as("n"), lit(null).cast(loType).as("lo")))
+        .groupBy("n")
+        .agg(countDistinct(col("lo")).as("nlo"), count(col("lo")).as("asChild"), count(lit(1)).as("tot"))
+        .filter(col("nlo") > 1 || (col("asChild") > 0 && col("tot") > col("asChild")))
         .limit(1)
         .count()
-      val chained =
-        if (multiParent > 0L) 1L
-        else next.join(next.select(col("hi").as("lo")), Seq("lo"), "left_semi").limit(1).count()
       edges.unpersist(blocking = false)
       edges = next
-      converged = multiParent == 0L && chained == 0L
+      converged = bad == 0L
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")

@@ -244,6 +244,38 @@ object TextOps {
       .filter((col("rk") - 1L) * 1000L < col("cnt") * keepPermille)
   }
 
+  /** Domain-mixture reweighting (training-data mixing): per-stratum doc and
+    * token mass plus the resampling weight (ppm) that moves the mixture to
+    * a UNIFORM share per stratum: weight = (total/n_strata) / stratum_tokens.
+    * Decimal(38) intermediates keep 1e6 * total_tokens exact at 100 TB
+    * token counts (long would overflow past ~9.2e12 tokens); the quotient
+    * floors back to a long. Scale shape: one partial-agg groupBy over the
+    * corpus, then a 2-row broadcast of the grand total onto the (tiny)
+    * stratum frame -- nothing else shuffles. */
+  def mixtureWeights(docs: DataFrame, strata: Seq[String], nTokens: Column): DataFrame = {
+    val keys = strata.map(col)
+    val agg = docs
+      .select(keys :+ nTokens.cast("long").as("__nt"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    val tot = agg.agg(
+      sum(col("n_tokens")).cast("decimal(38,0)").as("__tot"),
+      count(lit(1)).cast("decimal(38,0)").as("__ns")
+    )
+    agg
+      .crossJoin(broadcast(tot))
+      .select(
+        keys ++ Seq(
+          col("n_docs"),
+          col("n_tokens"),
+          floor(
+            lit(1000000).cast("decimal(38,0)") * col("__tot") /
+              (col("__ns") * col("n_tokens").cast("decimal(38,0)"))
+          ).cast("long").as("weight_ppm")
+        ): _*
+      )
+  }
+
   /** Rolling (positional polynomial) fingerprint over the word sequence:
     * h = sum(hash(w_i) * 31^i) mod p. Order-sensitive document identity. */
   def rollingFingerprint(words: Column): Column = {

@@ -618,6 +618,22 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(("A", 10L, 1), ("A", 9L, 2), ("B", 101L, 1)))
   }
 
+  test("mixtureWeights: uniform-target ppm weights, exact integer floor") {
+    val df = Seq(
+      ("A", "w x y z a b"), // 6 tokens
+      ("A", "p q r s"), // 4 tokens -> A: 2 docs, 10 tokens
+      ("B", Seq.fill(30)("t").mkString(" ")) // B: 1 doc, 30 tokens
+    ).toDF("src", "text")
+    val got = TextOps
+      .mixtureWeights(df, Seq("src"), TextOps.wsTokenCount(col("text")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // tot=40, ns=2 -> target 20 tokens/stratum
+    assert(got("A") == ((2L, 10L, 2000000L))) // 1e6*40/(2*10)
+    assert(got("B") == ((1L, 30L, 666666L))) // floor(1e6*40/60)
+  }
+
   test("language id picks marker-heavy language deterministically") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
