@@ -255,6 +255,20 @@ object Bench {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), graft.ops.Dedup.shingles(split(col("text"), " "), 3).as("sh"))
         graft.ops.Dedup.lshCandidates(docs, col("doc_id"), col("sh"), 8, 2)
+      }),
+      // the scale-path CC number: same star rounds over the xxhash fast-path
+      // candidate pairs (the md5 signatures in gated q_dedup_cc exist only
+      // for DuckDB reproducibility; this is what production would run)
+      "q_dedup_cc_fast" -> (() => force {
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val sh = docs.select(col("doc_id"), graft.ops.Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+        val pairs = graft.ops.Dedup.lshCandidates(sh, col("doc_id"), col("sh"), 8, 2)
+        val cc = graft.ops.Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+        docs
+          .select(col("doc_id"))
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
       })
     )
 
