@@ -267,6 +267,33 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
       Dedup.lshCandidates(docs, col("doc_id"), col("sh"), 8, 2, fast = false)
     }),
+    "tf_dedup_stream" -> ((s, d) => {
+      // streaming first-arrival-wins exact dedup over a STREAMED copy of the
+      // documents table; emitting one row per content key (the key, not the
+      // arrival-order-dependent winner id) makes the gate deterministic --
+      // if the keyed state missed a duplicate, the extra row breaks the
+      // row/hash compare against the distinct-key oracle
+      val streaming = graft.streaming.StreamingPipeline
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-drv").toString
+      val qname = s"dedup_stream_v${System.identityHashCode(s)}"
+      try {
+        T(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+          .withColumn("ts", to_timestamp(col("doc_id") + lit(1600000000L)))
+          .write.mode("overwrite").parquet(dir)
+        val src = s.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP").parquet(dir)
+        val key = concat_ws(" ", slice(words(col("text")), 1, 3))
+        val q = streaming
+          .memorySink(streaming.dedupExactStream(src, key, col("ts")), qname, complete = false)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        localize(s, s.table(qname).select(col("content_key")))
+      } finally {
+        s.catalog.dropTempView(qname)
+        deleteDir(dir)
+      }
+    }),
     "q_dedup_cc" -> ((s, d) => {
       // cluster resolution: LSH candidate pairs -> connected components ->
       // one canonical (min-id) doc per duplicate group, singletons kept
@@ -822,6 +849,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
         |FROM v GROUP BY 1""".stripMargin,
     "tf_lsh_candidates" -> s"WITH $lshPairCtes\nSELECT id_a, id_b FROM pairs",
+    "tf_dedup_stream" ->
+      """SELECT array_to_string((string_split(text, ' '))[1:3], ' ') AS content_key
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_cc" ->
       // min-label transitive closure: propagate every label smaller than the
       // target node (the component min always travels, everything else is

@@ -5,7 +5,7 @@ import graft.pipeline.TfPipeline
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** Structured Streaming variant of the parse -> route layer: a continuously
   * arriving tokenized-sequence table is envelope-parsed, routed, and
@@ -52,6 +52,24 @@ object StreamingPipeline {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact deduplication (ingest-side first-arrival-wins): keep
+    * each content key's first-arriving row, drop every later duplicate --
+    * within a micro-batch AND across batches (keyed state). State holds
+    * only the key (dropDuplicatesWithinWatermark), and the watermark evicts
+    * keys once the horizon passes, so state is bounded at 100 TB ingest; a
+    * duplicate arriving later than the horizon passes through -- the
+    * standard streaming-dedup tradeoff (global exactness is the batch
+    * [[graft.ops.Dedup.exactByKey]] job). Within one micro-batch the
+    * surviving row per key is arrival-order-dependent; emit the key, not
+    * the winner id, where determinism matters downstream. */
+  def dedupExactStream(docs: DataFrame, key: Column, eventTime: Column, horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_key", key)
+      .withColumn("__event_time", eventTime)
+      .withWatermark("__event_time", horizon)
+      .dropDuplicatesWithinWatermark("content_key")
+      .drop("__event_time")
 
   /** Per-(doc, medic) charge state tracked with mapGroupsWithState: a
     * streaming analogue of the medic build-time machine (counts completed

@@ -579,6 +579,19 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"), col("id_a"), col("id_b")).count() == 0L)
   }
 
+  test("connected components: 2000-node path converges in O(log n) rounds, not diameter") {
+    // a path graph is the adversarial case for plain min-label propagation
+    // (diameter 1999 -> 1999 rounds); the star alternation must finish in
+    // well under maxRounds=20 or this throws
+    val pairs = (0L until 1999L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
+    val got = Dedup
+      .connectedComponents(pairs, col("id_a"), col("id_b"), maxRounds = 20)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 2000)
+    assert(got.forall(_._2 == 0L), "every node labels to the component min")
+  }
+
   test("packChunks: per-shard prefix-sum invariants, chunk arithmetic, rerun stability") {
     val docs = (1L to 200L).map(i => (i, Seq.fill(1 + (i % 7).toInt)("w").mkString(" "))).toDF("doc_id", "text")
     def run() =

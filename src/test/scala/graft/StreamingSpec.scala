@@ -18,6 +18,46 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("streaming exact dedup: in-batch and cross-batch duplicates dropped, batch key parity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Files.createTempDirectory("graft-dedup-stream").toString
+    new java.io.File(s"$base/in").mkdirs()
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val df = rows.toDF("doc_id", "text")
+        .withColumn("ts", to_timestamp(col("doc_id") + 1600000000L))
+      val tmp = s"$base/tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, java.nio.file.Paths.get(s"$base/in/$name.parquet"))
+    }
+    writeFile("a", Seq((1L, "a b c"), (2L, "d e f"), (3L, "a b c"))) // in-batch dup {1,3}
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .parquet(s"$base/in")
+    val dd = StreamingPipeline.dedupExactStream(src, col("text"), col("ts"))
+    val q = StreamingPipeline.memorySink(dd, "dedup_stream", complete = false).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate (must hit the keyed state) + a new key
+      writeFile("b", Seq((4L, "d e f"), (5L, "g h i")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+      assert(out.contains(2L) && out.contains(5L))
+      assert(!out.contains(4L), "cross-batch duplicate must be dropped by keyed state")
+      assert((out & Set(1L, 3L)).size == 1, "exactly one in-batch winner per key")
+      assert(out.size == 3)
+      // key-set parity with the batch operator on the union of all arrivals
+      val all = Seq((1L, "a b c"), (2L, "d e f"), (3L, "a b c"), (4L, "d e f"), (5L, "g h i"))
+        .toDF("doc_id", "text")
+      val batchKeys = graft.ops.Dedup
+        .exactByKey(all, col("doc_id"), col("text"))
+        .count()
+      assert(batchKeys == 3L)
+    } finally q.stop()
+  }
+
   test("streaming envelope + windowed routed counts match the batch counts") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft-stream").toString
