@@ -267,6 +267,35 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
       Dedup.lshCandidates(docs, col("doc_id"), col("sh"), 8, 2, fast = false)
     }),
+    "tf_lsh_stream" -> ((s, d) => {
+      // streaming near-dup candidate detection over a STREAMED copy of the
+      // documents table: the stateful bucket machine must reproduce the
+      // batch LSH candidate set (k=8, bands=4x2, md5 signatures) exactly --
+      // the oracle is the same DuckDB pair SQL as tf_lsh_candidates
+      val streaming = graft.streaming.StreamingPipeline
+      val dir = java.nio.file.Files.createTempDirectory("graft-lsh-stream-drv").toString
+      val qname = s"lsh_stream_v${System.identityHashCode(s)}"
+      try {
+        T(s, d, "documents").select(col("doc_id"), col("text")).write.mode("overwrite").parquet(dir)
+        val src = s.readStream.schema("doc_id BIGINT, text STRING").parquet(dir)
+        val cands = streaming.lshCandidatesStream(
+          s,
+          src,
+          col("doc_id"),
+          Dedup.shingles(words(col("text")), 3),
+          8,
+          2,
+          fast = false
+        )
+        val q = streaming.memorySinkAppend(cands, qname).start()
+        try q.processAllAvailable()
+        finally q.stop()
+        localize(s, s.table(qname).select(col("id_a"), col("id_b")).distinct())
+      } finally {
+        s.catalog.dropTempView(qname)
+        deleteDir(dir)
+      }
+    }),
     "tf_dedup_stream" -> ((s, d) => {
       // streaming first-arrival-wins exact dedup over a STREAMED copy of the
       // documents table; emitting one row per content key (the key, not the
@@ -849,6 +878,7 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
         |FROM v GROUP BY 1""".stripMargin,
     "tf_lsh_candidates" -> s"WITH $lshPairCtes\nSELECT id_a, id_b FROM pairs",
+    "tf_lsh_stream" -> s"WITH $lshPairCtes\nSELECT id_a, id_b FROM pairs",
     "tf_dedup_stream" ->
       """SELECT array_to_string((string_split(text, ' '))[1:3], ' ') AS content_key
         |FROM documents GROUP BY 1""".stripMargin,

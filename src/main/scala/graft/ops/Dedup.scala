@@ -216,6 +216,27 @@ object Dedup {
       fast: Boolean = true,
       maxBucket: Int = 1000
   ): DataFrame = {
+    bucketPairs(
+      cappedBuckets(bandedIds(df, id, shingleCol, k, bandSize, fast), Seq("band", "band_hash"), "id", maxBucket),
+      directed = false,
+      maxBucket
+    )
+      .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
+      .distinct()
+  }
+
+  /** (id, band, band_hash) rows of the MinHash-LSH banding -- the purely
+    * map-side front half of [[lshCandidates]], shared with the streaming
+    * candidate detector (stateless, so it runs unchanged on a streaming
+    * frame). */
+  private[graft] def bandedIds(
+      df: DataFrame,
+      id: Column,
+      shingleCol: Column,
+      k: Int,
+      bandSize: Int,
+      fast: Boolean
+  ): DataFrame = {
     val nBands = k / bandSize
     // docs with no shingles have all-null signatures; they must not all
     // collide into one giant shared band bucket
@@ -235,13 +256,10 @@ object Dedup {
       if (fast) hash(parts: _*).cast("string")
       else concat_ws("|", parts.map(_.cast("string")): _*)
     }
-    val banded = sigDf.select(
+    sigDf.select(
       col("id"),
       posexplode(array((0 until nBands).map(bandKey): _*)).as(Seq("band", "band_hash"))
     )
-    bucketPairs(cappedBuckets(banded, Seq("band", "band_hash"), "id", maxBucket), directed = false, maxBucket)
-      .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
-      .distinct()
   }
 
   /** 60-bit SimHash over the word multiset: per bit, sum +-1 weighted by

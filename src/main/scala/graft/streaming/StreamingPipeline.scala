@@ -71,6 +71,55 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("content_key")
       .drop("__event_time")
 
+  /** Streaming MinHash-LSH near-dup candidate detection (ingest-side twin
+    * of [[graft.ops.Dedup.lshCandidates]]): the purely map-side banding
+    * runs unchanged on the stream; per (band, band_hash) bucket a
+    * flatMapGroupsWithState machine keeps the member ids seen so far and
+    * emits a normalized candidate pair (new, prior) the moment a new doc
+    * lands in a non-empty bucket -- near-dups are flagged at ARRIVAL time,
+    * no batch job needed.
+    *
+    * State per bucket is capped at `maxBucket` ids (same hot-bucket
+    * pathology as batch). Divergence from batch semantics ABOVE the cap:
+    * batch drops an over-cap bucket whole, the stream has already emitted
+    * the first cap members' pairs and stops adding -- below the cap the
+    * emitted pair set equals the batch candidate set exactly (a pair can
+    * arrive once per shared band; dedupe downstream where it matters).
+    * Within a micro-batch, members join in id order (deterministic). */
+  final case class BandMember(id: Long, band: Int, band_hash: String)
+  final case class BucketMembers(ids: List[Long])
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  def lshCandidatesStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      id: Column,
+      shingleCol: Column,
+      k: Int,
+      bandSize: Int,
+      fast: Boolean = true,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    graft.ops.Dedup
+      .bandedIds(docs, id, shingleCol, k, bandSize, fast)
+      .as[BandMember]
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState[BucketMembers, CandPair](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var seen = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = List.newBuilder[CandPair]
+          for (r <- rows.toSeq.sortBy(_.id) if seen.size < maxBucket && !seen.contains(r.id)) {
+            for (p <- seen) out += CandPair(math.min(p, r.id), math.max(p, r.id))
+            seen = r.id :: seen
+          }
+          state.update(BucketMembers(seen))
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Per-(doc, medic) charge state tracked with mapGroupsWithState: a
     * streaming analogue of the medic build-time machine (counts completed
     * first_heal -> chargeready builds). */
@@ -110,6 +159,11 @@ object StreamingPipeline {
       .format("memory")
       .queryName(name)
       .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
+
+  /** Append-mode memory sink (flatMapGroupsWithState(Append) queries must
+    * run in Append output mode). */
+  def memorySinkAppend(df: DataFrame, name: String): DataStreamWriter[Row] =
+    df.writeStream.format("memory").queryName(name).outputMode(OutputMode.Append)
 
   // ---------------------------------------------------------------------
   // Streaming medic module with reference-sequential semantics

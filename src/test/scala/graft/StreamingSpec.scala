@@ -58,6 +58,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates: cross-batch pair at arrival, batch pair-set parity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Files.createTempDirectory("graft-lsh-stream").toString
+    new java.io.File(s"$base/in").mkdirs()
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val df = rows.toDF("doc_id", "text")
+      val tmp = s"$base/tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, java.nio.file.Paths.get(s"$base/in/$name.parquet"))
+    }
+    val near1 = "the quick brown fox jumps over the lazy dog today"
+    val near2 = "the quick brown fox jumps over the lazy dog tonight"
+    val other = "completely different text about catalyst optimizer internals here"
+    writeFile("a", Seq((1L, near1), (2L, other)))
+    val src = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(s"$base/in")
+    def sh(c: org.apache.spark.sql.Column) = graft.ops.Dedup.shingles(split(c, " "), 3)
+    val cands = StreamingPipeline.lshCandidatesStream(spark, src, col("doc_id"), sh(col("text")), 8, 2)
+    val q = StreamingPipeline.memorySinkAppend(cands, "lsh_stream").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 -- the pair must be emitted AT ARRIVAL
+      // against the batch-1 bucket state
+      writeFile("b", Seq((3L, near1), (4L, near2)))
+      q.processAllAvailable()
+      val got = spark.table("lsh_stream").select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 3L)), "cross-batch near-dup pair must surface from keyed state")
+      // parity: distinct streamed pairs == the batch operator on the union
+      val all = Seq((1L, near1), (2L, other), (3L, near1), (4L, near2)).toDF("doc_id", "text")
+      val batch = graft.ops.Dedup
+        .lshCandidates(all, col("doc_id"), sh(col("text")), 8, 2)
+        .as[(Long, Long)].collect().toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming envelope + windowed routed counts match the batch counts") {
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft-stream").toString
