@@ -58,6 +58,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: keyed state survives a query restart (checkpoint resume)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Files.createTempDirectory("graft-dedup-restart").toString
+    new java.io.File(s"$base/in").mkdirs()
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val df = rows.toDF("doc_id", "text")
+        .withColumn("ts", to_timestamp(col("doc_id") + 1600000000L))
+      val tmp = s"$base/tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, java.nio.file.Paths.get(s"$base/in/$name.parquet"))
+    }
+    def startQuery() = {
+      val src = spark.readStream
+        .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+        .parquet(s"$base/in")
+      StreamingPipeline
+        .dedupExactStream(src, col("text"), col("ts"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+    }
+    writeFile("a", Seq((1L, "a b c"), (2L, "d e f")))
+    val q1 = startQuery()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    // restart: the batch-1 keys live only in the recovered state store
+    writeFile("b", Seq((3L, "a b c"), (4L, "g h i")))
+    val q2 = startQuery()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val out = spark.read.parquet(s"$base/out").select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 4L), s"duplicate across restart must be dropped by recovered state, got $out")
+  }
+
   test("streaming LSH candidates: cross-batch pair at arrival, batch pair-set parity") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
