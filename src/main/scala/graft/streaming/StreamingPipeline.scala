@@ -109,10 +109,14 @@ object StreamingPipeline {
       .flatMapGroupsWithState[BucketMembers, CandPair](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state) =>
           var seen = state.getOption.map(_.ids).getOrElse(Nil)
+          // O(1) membership via a task-local mirror (the encoded state stays
+          // a List; a cap-sized bucket would otherwise pay O(cap) per arrival)
+          val seenSet = scala.collection.mutable.HashSet.empty[Long] ++ seen
           val out = List.newBuilder[CandPair]
-          for (r <- rows.toSeq.sortBy(_.id) if seen.size < maxBucket && !seen.contains(r.id)) {
+          for (r <- rows.toSeq.sortBy(_.id) if seenSet.size < maxBucket && !seenSet.contains(r.id)) {
             for (p <- seen) out += CandPair(math.min(p, r.id), math.max(p, r.id))
             seen = r.id :: seen
+            seenSet += r.id
           }
           state.update(BucketMembers(seen))
           out.result().iterator
