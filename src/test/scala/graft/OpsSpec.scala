@@ -631,6 +631,20 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(("A", 10L, 1), ("A", 9L, 2), ("B", 101L, 1)))
   }
 
+  test("plan shapes: repetition is shuffle-free; packChunks has exactly one shuffle") {
+    val docs = (1L to 50L).map(i => (i, s"w$i x y z a b")).toDF("doc_id", "text")
+    // simple mode prints each shuffle as "Exchange hashpartitioning(...)";
+    // formatted mode would split node name from arguments
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))).length
+    assert(shuffles(TextOps.repetitionMetrics(docs)) == 0, "repetition must stay map-side")
+    assert(
+      shuffles(TextOps.packChunks(docs, col("doc_id"), TextOps.wsTokenCount(col("text")), 4, 10L)) == 1,
+      "packing plan must be one per-shard exchange, no global order"
+    )
+  }
+
   test("mixtureWeights: uniform-target ppm weights, exact integer floor") {
     val df = Seq(
       ("A", "w x y z a b"), // 6 tokens
