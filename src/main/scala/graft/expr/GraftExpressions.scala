@@ -350,6 +350,47 @@ object GraftExpressions {
       copy(l, r)
   }
 
+  /** Map-side top-nProbe IVF cell selection over a flattened broadcast
+    * centroid matrix (see Kernels.ivfProbeCells): the zero-exchange
+    * replacement for the per-id row_number window over the n x n_centroids
+    * cross join. Never null: a null input vector ranks all-null scores by
+    * cid asc, exactly like the window formulation. Arrays ship once as
+    * codegen reference objects (the rhp_buckets pattern). */
+  case class IvfProbeCellsExpr(
+      child: Expression,
+      cids: Array[Long],
+      cents: Array[Float],
+      cnorm2: Array[Double],
+      centBad: Array[Boolean],
+      dim: Int,
+      nProbe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      Kernels.ivfProbeCells(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        cids, cents, cnorm2, centBad, dim, nProbe)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cidRef = ctx.addReferenceObj("ivfCids", cids, "long[]")
+      val centRef = ctx.addReferenceObj("ivfCents", cents, "float[]")
+      val n2Ref = ctx.addReferenceObj("ivfCnorm2", cnorm2, "double[]")
+      val badRef = ctx.addReferenceObj("ivfCentBad", centBad, "boolean[]")
+      val c = child.genCode(ctx)
+      val code = code"""
+        ${c.code}
+        boolean ${ev.isNull} = false;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.expr.Kernels.ivfProbeCells(
+            ${c.isNull} ? null : ${c.value}, $cidRef, $centRef, $n2Ref, $badRef, $dim, $nProbe);
+      """
+      ev.copy(code = code)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Native one-pass 60-bit SimHash (see Kernels.simhash60Fast). */
   case class SimHash60Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -430,4 +471,13 @@ object GraftExpressions {
   def rhp_buckets(c: Column, weights: Array[Long], tables: Int, bits: Int, dim: Int): Column =
     col(RhpBuckets(ex(c), weights, tables, bits, dim))
   def cosine_x10000(a: Column, b: Column): Column = col(CosineX10000(ex(a), ex(b)))
+  def ivf_probe_cells(
+      vec: Column,
+      cids: Array[Long],
+      cents: Array[Float],
+      cnorm2: Array[Double],
+      centBad: Array[Boolean],
+      dim: Int,
+      nProbe: Int): Column =
+    col(IvfProbeCellsExpr(ex(vec), cids, cents, cnorm2, centBad, dim, nProbe))
 }

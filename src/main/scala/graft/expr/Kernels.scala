@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -419,6 +419,89 @@ object Kernels {
     val c = dot / (math.sqrt(na) * math.sqrt(nb))
     if (java.lang.Double.isNaN(c)) return null
     java.lang.Long.valueOf(math.floor(c * 10000d).toLong)
+  }
+
+  /** Top-`nProbe` IVF cells of one vector against a flattened broadcast
+    * centroid matrix, in ONE map-side pass -- the replacement for the
+    * `row_number().over(partitionBy(id))` probe-selection window, which
+    * shuffled the corpus expanded n_centroids-fold (VERDICT r5 scale-killer
+    * #2). Value-identical to ranking `cosineX10000(vec, cvec)` by
+    * (score desc NULLS LAST, cid asc) and keeping crank <= max(1, nProbe):
+    *  - per-centroid score arithmetic is the exact [[cosineX10000]] double
+    *    accumulation in index order (each accumulator only ever adds its own
+    *    terms in index order, so hoisting na / cnorm2 out of the pair loop is
+    *    bit-identical);
+    *  - a null/length-mismatched/NaN score ranks after every non-null score,
+    *    ties break by cid asc -- the window's desc NULLS LAST order;
+    *  - `cids` MUST be sorted ascending (the flattener guarantees it), so
+    *    equal-score ties resolve by first-wins insertion.
+    * Returns the probed cell ids best-first (length min(max(1,nProbe),
+    * nCent)); a NULL input vector still ranks all-null scores by cid asc,
+    * exactly like the window over a null-scored cross join. */
+  def ivfProbeCells(
+      vec: ArrayData,
+      cids: Array[Long],
+      cents: Array[Float],
+      cnorm2: Array[Double],
+      centBad: Array[Boolean],
+      dim: Int,
+      nProbe: Int): ArrayData = {
+    val nCent = cids.length
+    val np = math.min(math.max(1, nProbe), nCent)
+    if (np == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    // row-level score nullity + vec copy (doubles, read once)
+    var allNull = vec == null || vec.numElements() != dim
+    val xs = new Array[Double](if (allNull) 0 else dim)
+    var na = 0d
+    if (!allNull) {
+      var i = 0
+      while (i < dim && !allNull) {
+        if (vec.isNullAt(i)) allNull = true
+        else { val x = vec.getFloat(i).toDouble; xs(i) = x; na += x * x }
+        i += 1
+      }
+    }
+    val sCid = new Array[Long](np)
+    val sScore = new Array[Long](np)
+    val sNull = new Array[Boolean](np)
+    var filled = 0
+    var j = 0
+    while (j < nCent) {
+      var isNull = allNull || centBad(j)
+      var score = 0L
+      if (!isNull) {
+        var dot = 0d
+        val base = j * dim
+        var i = 0
+        while (i < dim) { dot += xs(i) * cents(base + i).toDouble; i += 1 }
+        val c = dot / (math.sqrt(na) * math.sqrt(cnorm2(j)))
+        if (java.lang.Double.isNaN(c)) isNull = true
+        else score = math.floor(c * 10000d).toLong
+      }
+      // insertion position: ranks before slot p-1? (cids ascend, so equal
+      // keys never displace an earlier slot)
+      var pos = filled
+      while (pos > 0 && {
+          val beats =
+            if (!isNull && sNull(pos - 1)) true
+            else if (isNull && !sNull(pos - 1)) false
+            else if (isNull) cids(j) < sCid(pos - 1)
+            else score > sScore(pos - 1) ||
+              (score == sScore(pos - 1) && cids(j) < sCid(pos - 1))
+          beats
+        }) pos -= 1
+      if (pos < np) {
+        var m = math.min(filled, np - 1)
+        while (m > pos) {
+          sCid(m) = sCid(m - 1); sScore(m) = sScore(m - 1); sNull(m) = sNull(m - 1)
+          m -= 1
+        }
+        sCid(pos) = cids(j); sScore(pos) = score; sNull(pos) = isNull
+        if (filled < np) filled += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(sCid, filled))
   }
 
   // ---- minhash -----------------------------------------------------------

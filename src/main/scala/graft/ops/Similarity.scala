@@ -90,6 +90,69 @@ object Similarity {
       }
       .reduce(_.bitwiseOR(_))
 
+  /** Driver-side flattened coarse quantizer: the centroid table collected
+    * once (it is driver-sized by the IVF contract -- thousands of rows, like
+    * any broadcast side), sorted by cid and flattened into primitive arrays
+    * that ship to executors as codegen reference objects. `cnorm2` is each
+    * centroid's squared norm accumulated in index order (bit-identical to
+    * the interleaved [[graft.expr.Kernels.cosineX10000]] accumulation);
+    * `bad` marks centroids whose score is NULL for every row (null / null
+    * element / length-mismatched cvec -- mixed-dim corpora do not occur: the
+    * quantizer is corpus rows or k-means means). */
+  private[graft] case class Quantizer(
+      cids: Array[Long],
+      cents: Array[Float],
+      cnorm2: Array[Double],
+      bad: Array[Boolean],
+      dim: Int)
+
+  private[graft] def collectQuantizer(cents0: DataFrame): Quantizer = {
+    val rows = cents0
+      .select(col("cid").cast("long").as("cid"), col("cvec"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val n = rows.length
+    val dim = rows.iterator
+      .filterNot(_.isNullAt(1))
+      .map(_.getAs[scala.collection.Seq[Any]](1).length)
+      .nextOption()
+      .getOrElse(0)
+    val cids = new Array[Long](n)
+    val bad = new Array[Boolean](n)
+    val cents = new Array[Float](n * dim)
+    val cn2 = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val r = rows(j)
+      cids(j) = r.getLong(0)
+      if (r.isNullAt(1)) bad(j) = true
+      else {
+        val s = r.getAs[scala.collection.Seq[Any]](1)
+        if (s.length != dim || s.exists(_ == null)) bad(j) = true
+        else {
+          var nb = 0d
+          var i = 0
+          while (i < dim) {
+            val y = s(i).asInstanceOf[Float]
+            cents(j * dim + i) = y
+            nb += y.toDouble * y.toDouble
+            i += 1
+          }
+          cn2(j) = nb
+        }
+      }
+      j += 1
+    }
+    Quantizer(cids, cents, cn2, bad, dim)
+  }
+
+  /** Top-nProbe probed cell ids for a vector column, map-side (see
+    * [[graft.expr.Kernels.ivfProbeCells]]): best-first, so element 1 is the
+    * assignment cell and posexplode's pos is crank-1. */
+  private[graft] def probeCells(vec: Column, q: Quantizer, nProbe: Int): Column =
+    graft.expr.GraftExpressions.ivf_probe_cells(
+      vec, q.cids, q.cents, q.cnorm2, q.bad, q.dim, nProbe)
+
   /** IVF-flat ANN: a coarse quantizer of deterministically-sampled centroids
     * partitions the corpus into cells; each query probes its `nProbe`
     * nearest cells and scores EXACT cosine only against their members.
@@ -143,26 +206,35 @@ object Similarity {
       maxCell: Int = 1000
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(cents0)
-    val scored = df
-      .join(cents)
-      .select(col("id"), col("cid"), cosineX10000(col("vec"), col("cvec")).as("cscore"))
-    val wCent = Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)
-    val probes = scored
-      .withColumn("crank", row_number().over(wCent))
-      .filter(col("crank") <= math.max(1, nProbe))
-      .select(col("id"), col("cid").as("cell"), col("crank"))
-    val assign = probes.filter(col("crank") === 1).select(col("cell"), col("id"))
+    // MAP-SIDE probe selection (guide §2.4): the flattened broadcast
+    // quantizer + one codegen'd kernel pass replace the former
+    // row_number().over(partitionBy(id)) window over the df x centroids
+    // cross join -- at 10^12 vectors that window exchanged AND sorted the
+    // corpus expanded n_centroids-fold; now no exchange exists before cell
+    // assignment. The kernel subtree is referenced twice (assignment build
+    // + probe side) and recomputes -- 2x map-side flops for 0 shuffles, the
+    // right trade at any scale.
+    val q = collectQuantizer(cents0)
+    val probes = df.select(
+      col("id"),
+      explode(probeCells(col("vec"), q, nProbe)).as("cell"))
+    // assignment = the top-1 probe (crank 1); `get` is 0-based and null-safe
+    // on the empty-quantizer edge (empty array -> null cell -> no members)
+    val assign = df.select(
+      get(probeCells(col("vec"), q, 1), lit(0)).as("cell"), col("id"))
     // capped cell membership in ONE bounded_collect pass; unlike the pair
     // generators, a SINGLETON cell is kept (its member is a candidate for
-    // other probing queries); over-cap cells come back NULL and drop whole
+    // other probing queries); over-cap cells come back NULL and drop whole.
+    // The cell table is bounded by construction (<= nCent rows x maxCell
+    // ids), so it BROADCASTS: the candidate join costs the probe side no
+    // exchange at all.
     val cells = assign
       .groupBy("cell")
       .agg(graft.expr.BoundedCollect.bounded_collect(col("id"), maxCell).as("__ids"))
       .filter(col("__ids").isNotNull)
     val cands = probes
       .select(col("id").as("qid"), col("cell"))
-      .join(cells, Seq("cell"))
+      .join(broadcast(cells), Seq("cell"))
       .select(col("qid"), explode(col("__ids")).as("cid"))
       .filter(col("qid") =!= col("cid"))
     val scoredPairs = cands
@@ -217,20 +289,16 @@ object Similarity {
       nProbe: Int,
       maxCell: Int = 1000
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(
+    // map-side probe selection, same shape as [[ivfTopKWithCentroids]]
+    val q = collectQuantizer(
       df.filter(pmod(col("id"), lit(centroidEvery)) === 0)
         .select(col("id").as("cid"), col("vec").as("cvec"))
     )
-    val scored = df
-      .join(cents)
-      .select(col("id"), col("cid"), cosineX10000(col("vec"), col("cvec")).as("cscore"))
-    val wCent = Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)
-    val probes = scored
-      .withColumn("crank", row_number().over(wCent))
-      .filter(col("crank") <= math.max(1, nProbe))
-      .select(col("id"), col("cid").as("cell"), col("crank"))
-    val assign = probes.filter(col("crank") === 1).select(col("cell"), col("id"))
+    val probes = df.select(
+      col("id"),
+      explode(probeCells(col("vec"), q, nProbe)).as("cell"))
+    val assign = df.select(
+      get(probeCells(col("vec"), q, 1), lit(0)).as("cell"), col("id"))
     val cells = assign
       .groupBy("cell")
       .agg(graft.expr.BoundedCollect.bounded_collect(col("id"), maxCell).as("__ids"))
@@ -240,7 +308,7 @@ object Similarity {
     // so each pair is scored exactly once
     val cands = probes
       .select(col("id").as("pid"), col("cell"))
-      .join(cells, Seq("cell"))
+      .join(broadcast(cells), Seq("cell"))
       .select(col("pid"), explode(col("__ids")).as("mid"))
       .filter(col("pid") =!= col("mid"))
       .select(least(col("pid"), col("mid")).as("id_a"), greatest(col("pid"), col("mid")).as("id_b"))
@@ -267,13 +335,12 @@ object Similarity {
       .filter(pmod(col("id"), lit(centroidEvery)) === 0)
       .select(col("id").as("cid"), col("vec").as("cvec"))
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    val wCent = Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)
+    // map-side assignment (kernel over the flattened quantizer): the build
+    // job's only exchanges are the cell-cap window + the layout repartition
+    val q = collectQuantizer(cents)
     val assign = df
-      .join(broadcast(cents))
-      .select(col("id"), col("vec"), col("cid"), cosineX10000(col("vec"), col("cvec")).as("cscore"))
-      .withColumn("crank", row_number().over(wCent))
-      .filter(col("crank") === 1)
-      .select(col("cid").as("cell"), col("id"), col("vec"))
+      .select(get(probeCells(col("vec"), q, 1), lit(0)).as("cell"), col("id"), col("vec"))
+      .filter(col("cell").isNotNull)
     val kept = assign
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell")))
       .filter(col("__n") <= maxCell)
@@ -294,13 +361,15 @@ object Similarity {
       nProbe: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    // map-side probe selection over the stored quantizer (driver-sized by
+    // the index contract); the cells scan below joins on the PARTITION
+    // column, so dynamic partition pruning still reads only probed cells
+    val q = collectQuantizer(spark.read.parquet(s"$dir/centroids"))
     val probes = queries
-      .join(cents)
-      .select(col("id").as("qid"), col("vec").as("qv"), col("cid"), cosineX10000(col("vec"), col("cvec")).as("cscore"))
-      .withColumn("crank", row_number().over(Window.partitionBy("qid").orderBy(col("cscore").desc, col("cid").asc)))
-      .filter(col("crank") <= math.max(1, nProbe))
-      .select(col("qid"), col("qv"), col("cid").as("cell"))
+      .select(
+        col("id").as("qid"),
+        col("vec").as("qv"),
+        explode(probeCells(col("vec"), q, nProbe)).as("cell"))
     val members = spark.read.parquet(s"$dir/cells")
     val w = Window.partitionBy("qid").orderBy(col("sim_x10000").desc, col("cid").asc)
     probes

@@ -221,12 +221,30 @@ object TextOps {
   /** Per-stratum top-permille gate (quality filtering): keep a row when its
     * deterministic rank within `stratum` (by `score` desc, `key` asc -- no
     * tie ambiguity) falls in the best `keepPermille`/1000 of the stratum.
-    * Integer arithmetic only: (rk-1)*1000 < keepPermille*cnt.
+    * Integer arithmetic only: (rk-1)*1000 < keepPermille*cnt. Output columns
+    * and values are IDENTICAL to the single-window formulation (spec-pinned):
+    * (stratum, score, key, rk, cnt).
     *
-    * Scale shape: one window sort per stratum for the rank + a broadcast
-    * of the per-stratum counts (strata are few: sources/languages). The
-    * count comes from a groupBy dim, NOT a second count-over-window pass
-    * over the sorted frame. */
+    * Scale shape (two-pass threshold cut -- VERDICT r5 scale-killer #1; the
+    * old single `row_number().over(partitionBy(stratum))` funneled each
+    * stratum, a large corpus fraction, through ONE sort task):
+    *  1. score histogram: one partial-agg groupBy (stratum, score) -- tiny
+    *     when scores are bounded-cardinality quality buckets (this
+    *     operator's contract: qualityScore-like integer scores);
+    *  2. per-(stratum, score) rows-strictly-above counts via a window over
+    *     the HISTOGRAM (thousands of rows, not the corpus), keeping only
+    *     score groups that contain at least one kept rank;
+    *  3. map-side broadcast semi-join drops sub-threshold groups (at
+    *     keepPermille=200 that is ~80% of the corpus) before anything
+    *     shuffles;
+    *  4. the global rank decomposes exactly: rk = above + (rank by key
+    *     within the row's (stratum, score) group), so the only corpus-side
+    *     sort is a window partitioned by (stratum, SCORE) over SURVIVORS --
+    *     parallelism = kept score groups per stratum instead of 1 task per
+    *     stratum, and each group sorts only its own rows. A single hot
+    *     boundary score group remains the irreducible worst case (ranking
+    *     unique keys inside one tie set); it is bounded by that tie set, not
+    *     by the stratum. */
   def stratumTopPermille(
       df: DataFrame,
       stratum: Column,
@@ -236,12 +254,36 @@ object TextOps {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(stratum.as("stratum"), score.as("score"), key.as("key"))
-    val cnt = base.groupBy("stratum").agg(count(lit(1)).as("cnt"))
-    val rk = row_number().over(Window.partitionBy("stratum").orderBy(col("score").desc, col("key")))
+    val hist = base.groupBy("stratum", "score").agg(count(lit(1)).as("gcnt"))
+    val wAbove = Window.partitionBy("stratum").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("stratum")
+    // per score group: rows strictly above it in its stratum + the stratum
+    // count; a group contributes kept rows iff its FIRST rank is kept:
+    // above*1000 < cnt*keepPermille
+    val keptGroups = hist
+      .select(
+        col("stratum"),
+        col("score"),
+        coalesce(sum(col("gcnt")).over(wAbove), lit(0L)).as("above"),
+        sum(col("gcnt")).over(wAll).as("cnt")
+      )
+      .filter(col("above") * 1000L < col("cnt") * keepPermille)
+    val rig = row_number().over(Window.partitionBy("stratum", "score").orderBy(col("key")))
+    // score joins NULL-SAFELY (<=>): a null score ranks last but can still be
+    // kept; stratum joins null-unsafely exactly like the old Seq("stratum")
+    // using-join (null-stratum rows never reached the output)
+    val kg = keptGroups.select(col("stratum").as("kg_stratum"),
+      col("score").as("kg_score"), col("above"), col("cnt"))
     base
-      .select(col("stratum"), col("score"), col("key"), rk.as("rk"))
-      .join(broadcast(cnt), Seq("stratum"))
-      .filter((col("rk") - 1L) * 1000L < col("cnt") * keepPermille)
+      .join(
+        broadcast(kg),
+        col("stratum") === col("kg_stratum") && col("score") <=> col("kg_score"))
+      .select(col("stratum"), col("score"), col("key"), col("above"), col("cnt"),
+        rig.as("rig"))
+      .filter((col("above") + col("rig") - 1L) * 1000L < col("cnt") * keepPermille)
+      .select(col("stratum"), col("score"), col("key"),
+        (col("above") + col("rig")).cast("int").as("rk"), col("cnt"))
   }
 
   /** Domain-mixture reweighting (training-data mixing): per-stratum doc and

@@ -735,4 +735,83 @@ class OpsSpec extends AnyFunSuite {
     assert(perPart.sum == total)
     assert(perPart.max < total, "pair generation must not collapse into one task")
   }
+
+  test("ivfProbeCells kernel == row_number window probe selection (incl. ties, nulls, degenerate)") {
+    import org.apache.spark.sql.expressions.Window
+    // corpus with deliberate pathologies: duplicate centroids (exact score
+    // ties -> cid tie-break), an all-zero vector (NaN cosine -> all-null
+    // scores, ranked by cid asc), a scaled copy (cosine exactly 1), and
+    // near-orthogonal noise
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val base = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d => (rnd.nextFloat() * 2 - 1)))
+    }
+    val scaled = Seq((100L, base(3)._2.map(_ * 2.5f)))
+    val zero = Seq((101L, Array.fill(dim)(0f)))
+    val vecs = (base ++ scaled ++ zero).toDF("id", "vec")
+    // centroids: every 7th vector PLUS an exact duplicate of one centroid
+    // under a different cid (score ties for every row)
+    val cents = vecs.filter(pmod(col("id"), lit(7)) === 0)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+      .union(vecs.filter(col("id") === 7).select(lit(999L).as("cid"), col("vec").as("cvec")))
+    def windowProbes(nProbe: Int) = vecs
+      .join(broadcast(cents))
+      .select(col("id"), col("cid"), Similarity.cosineX10000(col("vec"), col("cvec")).as("cscore"))
+      .withColumn("crank",
+        row_number().over(Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)))
+      .filter(col("crank") <= math.max(1, nProbe))
+      .select(col("id"), col("crank"), col("cid").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def kernelProbes(nProbe: Int) = {
+      val q = Similarity.collectQuantizer(cents)
+      vecs.select(col("id"), posexplode(Similarity.probeCells(col("vec"), q, nProbe)).as(Seq("p", "cell")))
+        .select(col("id"), (col("p") + 1).as("crank"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    for (np <- Seq(0, 1, 2, 3, 7, 100)) { // 0 -> max(1,_) floor; 100 > nCent
+      assert(kernelProbes(np) == windowProbes(np), s"probe divergence at nProbe=$np")
+    }
+  }
+
+  test("stratumTopPermille == the single-window formulation (ties, null score, many rates)") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (scores 0..4), uneven strata, one null score
+    val rnd = new scala.util.Random(23)
+    val rows: Seq[(String, Option[Long], Long)] =
+      (1 to 150).map(i => ("A", Some(rnd.nextInt(5).toLong), 1000L + i)) ++
+        (1 to 37).map(i => ("B", Some(rnd.nextInt(3).toLong), 2000L + i)) ++
+        Seq(("B", None, 2999L), ("C", Some(2L), 3000L))
+    val df = rows.toDF("src", "q", "id")
+    def oldForm(keepPermille: Int) = {
+      val base = df.select(col("src").as("stratum"), col("q").as("score"), col("id").as("key"))
+      val cnt = base.groupBy("stratum").agg(count(lit(1)).as("cnt"))
+      val rk = row_number().over(
+        Window.partitionBy("stratum").orderBy(col("score").desc, col("key")))
+      base.select(col("stratum"), col("score"), col("key"), rk.as("rk"))
+        .join(broadcast(cnt), Seq("stratum"))
+        .filter((col("rk") - 1L) * 1000L < col("cnt") * keepPermille)
+        .collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    }
+    def newForm(keepPermille: Int) = TextOps
+      .stratumTopPermille(df, col("src"), col("q"), col("id"), keepPermille)
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    for (kp <- Seq(0, 1, 10, 200, 500, 999, 1000))
+      assert(newForm(kp) == oldForm(kp), s"quality-cut divergence at keepPermille=$kp")
+    // plan shape: the corpus-side rank window partitions by (stratum, SCORE),
+    // never by stratum alone -- the r5 single-task-per-stratum sort is gone
+    val lp = TextOps.stratumTopPermille(df, col("src"), col("q"), col("id"), 200)
+      .queryExecution.optimizedPlan
+    val rankParts = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.windowExpressions.mkString.contains("row_number") =>
+        w.partitionSpec.length
+    }
+    assert(rankParts.nonEmpty && rankParts.forall(_ == 2),
+      s"rank window must partition by (stratum, score): $rankParts")
+  }
 }
