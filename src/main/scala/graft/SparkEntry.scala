@@ -690,9 +690,11 @@ object SparkEntry {
     "q_minhash_sig" -> ((s, d) => {
       val docs = T(s, d, "documents")
         .select(col("doc_id"), Dedup.shingles(words(col("text")), 3).as("sh"))
+      // fused md5 signature kernel: value-identical to the hash-pairs +
+      // per-salt array_min chain (differential-spec pinned), one traversal
       docs
-        .select(col("doc_id"), Dedup.minhashHashPairs(col("sh")).as("__hp"))
-        .select(col("doc_id") +: Dedup.minhashSignature(col("__hp"), 8): _*)
+        .select(col("doc_id"), Dedup.minhashMd5Fast(col("sh"), 8).as("__mh"))
+        .select(col("doc_id") +: Dedup.minhashSignatureFast(col("__mh"), 8): _*)
     }),
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = T(s, d, "documents")

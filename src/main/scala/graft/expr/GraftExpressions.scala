@@ -438,6 +438,29 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All-k md5 double-hashing MinHash signature values in one codegen'd
+    * traversal (see Kernels.minhashMd5Multi) -- the oracle-path twin of
+    * [[MinhashMulti]]. */
+  case class MinhashMd5Multi(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      Kernels.minhashMd5Multi(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => {
+          val tmp = ctx.freshName("mh5")
+          s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $tmp = graft.expr.Kernels.minhashMd5Multi($c, $k);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+           """.stripMargin
+        }
+      )
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column API --------------------------------------------------------
 
   private def col(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
@@ -466,6 +489,7 @@ object GraftExpressions {
   def split_player_subject(c: Column): Column = col(SplitPlayerSubjectExpr(ex(c)))
   def steam_text_account(c: Column): Column = col(SteamTextAccount(ex(c)))
   def minhash_multi(c: Column, k: Int): Column = col(MinhashMulti(ex(c), k))
+  def minhash_md5_multi(c: Column, k: Int): Column = col(MinhashMd5Multi(ex(c), k))
   def shingles_native(c: Column, n: Int): Column = col(ShinglesExpr(ex(c), n))
   def simhash60_native(c: Column): Column = col(SimHash60Expr(ex(c)))
   def rhp_buckets(c: Column, weights: Array[Long], tables: Int, bits: Int, dim: Int): Column =

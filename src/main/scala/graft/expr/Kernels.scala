@@ -506,6 +506,66 @@ object Kernels {
 
   // ---- minhash -----------------------------------------------------------
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex digits of an md5 digest as a long -- exactly
+    * `conv(substring(md5(x),1,15),16,10)` (TextOps.stableHash60): the
+    * big-endian value of the first 8 digest bytes shifted right one nibble
+    * (15 nibbles = 60 bits, always non-negative). */
+  private def md5Hash60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  private val MinhashPrefix = "x:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** All k md5-based double-hashing MinHash signature values in ONE
+    * traversal -- value-identical to the Dedup.minhashHashPairs +
+    * minhashSignature expression chain (the DuckDB-reproducible oracle
+    * path): per non-null shingle s, h1 = hash60(md5(s)),
+    * h2 = hash60(md5("x:" + s)) mod 2^53, sig_i = min over shingles of
+    * (h1 + i*h2) mod 2^60. The chain paid two md5 EXPRESSION calls per
+    * shingle (hex-string alloc + substring + conv string parse each) plus k
+    * interpreted transform+array_min passes over the pairs array; the
+    * kernel hashes each shingle once per base hash natively and folds all k
+    * mins in the same pass. Null shingles are skipped (array_min null-skip
+    * over the null-propagated affine); an empty/all-null array returns null
+    * (every sig_i null via element_at). Exact-arithmetic bound k <= 1024 as
+    * in minhashSignature (i*(2^53) + 2^60 < 2^63). */
+  def minhashMd5Multi(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val md = md5Local.get()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        any = true
+        val s = shingles.getUTF8String(j).getBytes
+        md.reset()
+        val h1 = md5Hash60(md.digest(s))
+        md.reset()
+        md.update(MinhashPrefix)
+        md.update(s)
+        val h2 = md5Hash60(md.digest()) % 9007199254740992L // 2^53
+        var i = 0
+        while (i < k) {
+          val gi = (h1 + i * h2) % 1152921504606846976L // 2^60
+          if (gi < mins(i)) mins(i) = gi
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) null else UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** Per-salt seeds replicating `xxhash64(lit(i), s)`: the int literal is
     * hashed first with the function's default seed 42, and that value seeds
     * the string hash. */

@@ -190,6 +190,18 @@ object Dedup {
   def minhashSignatureFast(arr: Column, k: Int): Seq[Column] =
     (0 until k).map(i => element_at(arr, i + 1).as(s"sig_$i"))
 
+  /** Oracle-path signatures in ONE codegen'd traversal: value-identical to
+    * [[minhashSignature]] over [[minhashHashPairs]] (differential-spec
+    * pinned) -- same md5-derived affine family, but each shingle is hashed
+    * natively once per base hash and all k mins fold in the same pass,
+    * instead of two md5 expression calls per shingle (hex-string alloc +
+    * substring + conv parse each) plus k interpreted transform/array_min
+    * passes. Same k <= 1024 exact-arithmetic bound. */
+  def minhashMd5Fast(shingleCol: Column, k: Int): Column = {
+    require(k >= 1 && k <= 1024, s"minhashMd5Fast: k=$k outside the exact-arithmetic bound [1, 1024]")
+    graft.expr.GraftExpressions.minhash_md5_multi(shingleCol, k)
+  }
+
   /** MinHash LSH candidate pairs: signatures banded (bandSize rows/band);
     * docs sharing any band bucket become candidates. Returns (id_a, id_b)
     * with id_a < id_b, distinct.
@@ -248,8 +260,8 @@ object Dedup {
           .select(col("id") +: minhashSignatureFast(col("__mh"), k): _*)
       else
         nonEmpty
-          .select(id.as("id"), minhashHashPairs(shingleCol).as("__hp"))
-          .select(col("id") +: minhashSignature(col("__hp"), k): _*)
+          .select(id.as("id"), minhashMd5Fast(shingleCol, k).as("__mh"))
+          .select(col("id") +: minhashSignatureFast(col("__mh"), k): _*)
     def bandKey(b: Int): Column = {
       val parts = (b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i"))
       // fast: 32-bit murmur of the band; stable: a cross-engine string key
@@ -407,17 +419,27 @@ object Dedup {
       val next = nextPlan.localCheckpoint()
       // converged when the edge set is a star forest: every node points at
       // exactly one (root) node, and no root is itself re-attached. ONE
-      // probe job: per node, distinct-parent count and whether it occurs
-      // on both sides of an edge.
+      // probe job: per node, whether its parents disagree (min != max over
+      // non-null lo -- same predicate as distinct-count > 1, but a plain
+      // partial-aggregable min/max instead of a two-phase Expand
+      // distinct-aggregate) and whether it occurs on both sides of an edge.
+      // The round-1 probe is SKIPPED: no real candidate graph is a star
+      // forest on arrival (one round of star alternation is never enough),
+      // so that probe -- over the LARGEST edge set of the whole loop -- can
+      // only ever say "not yet"; an already-converged input just pays one
+      // no-op round over its final (smallest) edge set before detection.
       val loType = next.schema("lo").dataType
-      val bad = next
-        .select(col("hi").as("n"), col("lo"))
-        .union(next.select(col("lo").as("n"), lit(null).cast(loType).as("lo")))
-        .groupBy("n")
-        .agg(countDistinct(col("lo")).as("nlo"), count(col("lo")).as("asChild"), count(lit(1)).as("tot"))
-        .filter(col("nlo") > 1 || (col("asChild") > 0 && col("tot") > col("asChild")))
-        .limit(1)
-        .count()
+      val bad =
+        if (round == 0) 1L
+        else next
+          .select(col("hi").as("n"), col("lo"))
+          .union(next.select(col("lo").as("n"), lit(null).cast(loType).as("lo")))
+          .groupBy("n")
+          .agg(min(col("lo")).as("lo_min"), max(col("lo")).as("lo_max"),
+            count(col("lo")).as("asChild"), count(lit(1)).as("tot"))
+          .filter(col("lo_min") =!= col("lo_max") || (col("asChild") > 0 && col("tot") > col("asChild")))
+          .limit(1)
+          .count()
       edges.unpersist(blocking = false)
       edges = next
       converged = bad == 0L

@@ -736,6 +736,31 @@ class OpsSpec extends AnyFunSuite {
     assert(perPart.max < total, "pair generation must not collapse into one task")
   }
 
+  test("minhashMd5Fast kernel == hash-pairs + per-salt array_min oracle chain") {
+    // shingle corpora incl. edge shapes: normal docs, a single-shingle doc,
+    // an EMPTY shingle array (-> all sigs null), and an array with null
+    // elements (array_min null-skip)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox leaps over the lazy dog"),
+      (3L, "a b c"),
+      (4L, "a b") // < 3 words -> empty shingles
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+      .union(Seq((5L, "x")).toDF("doc_id", "t")
+        .select(col("doc_id"), array(lit(null).cast("string"), lit("p q r"), lit(null).cast("string")).as("sh")))
+    val k = 8
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 to k).map(i => if (r.isNullAt(i)) null else r.get(i)).toList).toSet
+    val chain = rows(
+      sh.select(col("doc_id"), Dedup.minhashHashPairs(col("sh")).as("__hp"))
+        .select(col("doc_id") +: Dedup.minhashSignature(col("__hp"), k): _*))
+    val fused = rows(
+      sh.select(col("doc_id"), Dedup.minhashMd5Fast(col("sh"), k).as("__mh"))
+        .select(col("doc_id") +: Dedup.minhashSignatureFast(col("__mh"), k): _*))
+    assert(fused == chain, "fused md5 minhash must equal the expression chain")
+  }
+
   test("ivfProbeCells kernel == row_number window probe selection (incl. ties, nulls, degenerate)") {
     import org.apache.spark.sql.expressions.Window
     // corpus with deliberate pathologies: duplicate centroids (exact score
