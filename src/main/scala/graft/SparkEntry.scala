@@ -310,7 +310,13 @@ object SparkEntry {
           .select(col("doc_id"), col("text"))
           .withColumn("ts", to_timestamp(col("doc_id") + lit(1600000000L)))
           .write.mode("overwrite").parquet(dir)
-        val src = s.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP").parquet(dir)
+        // every initial file in ONE micro-batch, explicitly: the watermark
+        // horizon (10 min) is narrower than the corpus's doc_id-derived
+        // event-time span, so a split across triggers could evict keys
+        // mid-corpus and make the gate depend on trigger boundaries
+        val src = s.readStream
+          .option("maxFilesPerTrigger", Int.MaxValue.toString)
+          .schema("doc_id BIGINT, text STRING, ts TIMESTAMP").parquet(dir)
         val key = concat_ws(" ", slice(words(col("text")), 1, 3))
         val q = streaming
           .memorySink(streaming.dedupExactStream(src, key, col("ts")), qname, complete = false)

@@ -379,9 +379,12 @@ object Dedup {
     * dir so executor loss stays recoverable).
     *
     * Input pairs may contain duplicates / self-pairs / either orientation.
-    * Returns (id, component) for every id appearing in `pairs`, where
-    * component is the smallest id in its component (callers left-join and
-    * coalesce to cover singleton docs). Ids must be integral-typed. */
+    * Returns (id, component) for every id appearing in a NON-SELF pair
+    * (self-pairs hi == lo are filtered on entry, so an id appearing only in
+    * self-pairs is absent -- harmless for callers, which left-join and
+    * coalesce(component, id) to cover singletons either way), where
+    * component is the smallest id in its component. Ids must be
+    * integral-typed. */
   def connectedComponents(pairs: DataFrame, idA: Column, idB: Column, maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var edges = pairs

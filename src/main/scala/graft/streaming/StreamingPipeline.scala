@@ -80,7 +80,14 @@ object StreamingPipeline {
     * no batch job needed.
     *
     * State per bucket is capped at `maxBucket` ids (same hot-bucket
-    * pathology as batch). Divergence from batch semantics ABOVE the cap:
+    * pathology as batch), but the NUMBER of bucket states is unbounded for
+    * the lifetime of the stream (GroupStateTimeout.NoTimeout, no watermark):
+    * total state grows with the distinct (band, band_hash) keys ever seen.
+    * A long-running ingest deployment must either restart periodically from
+    * a compacted checkpoint or add an event-time/processing-time timeout --
+    * with the caveat that evicted buckets stop pairing against pre-eviction
+    * members, a divergence from batch the cap does not have.
+    * Divergence from batch semantics ABOVE the cap:
     * batch drops an over-cap bucket whole, the stream has already emitted
     * the first cap members' pairs and stops adding -- below the cap the
     * emitted pair set equals the batch candidate set exactly (a pair can
