@@ -57,6 +57,30 @@ object Profile {
     dimP.unpersist()
     routed.unpersist()
 
+    // e2e decomposition: the EXACT pipelineOnce sequence with each phase
+    // timed separately (fresh persist each round, like the bench), so the
+    // gap between the sum of warm-cache legs above and the e2e figure is
+    // attributable instead of guessed
+    timed("e2e sub: routed persist+mat") {
+      val r = TfPipeline.routed(TfPipeline.envelope(input)).persist()
+      r.count()
+      r.unpersist(blocking = true); ()
+    }
+    (0 until iters).foreach { _ =>
+      val r = TfPipeline.routed(TfPipeline.envelope(input)).persist()
+      val t0 = System.nanoTime(); r.count()
+      val tMat = (System.nanoTime() - t0) / 1e9
+      val d = TfPipeline.subjectDim(r).persist()
+      val t1 = System.nanoTime(); d.count()
+      val tDim = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime(); force(TfPipeline.perPlayer(r, d))
+      val tPp = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime(); force(TfPipeline.chat(r, d))
+      val tCh = (System.nanoTime() - t3) / 1e9
+      d.unpersist(); r.unpersist()
+      println(f"e2e phases: mat=$tMat%.2f dim=$tDim%.2f perPlayer=$tPp%.2f chat=$tCh%.2f sum=${tMat + tDim + tPp + tCh}%.2f")
+    }
+
     timed("pipelineOnce(e2e)")(Bench.pipelineOnce(spark, input))
     spark.stop()
   }

@@ -366,7 +366,11 @@ object SparkEntry {
       // the pair-score distribution and returns 27/34/441 rows -- the
       // threshold+pair logic is actually exercised at every sf
       val e = T(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
-      e.as("a")
+      // spread the O(n^2) nested-loop work: the corpus is one small parquet
+      // file, so the BNLJ stream side would otherwise be a SINGLE task
+      // carrying every pair evaluation; an O(n) round-robin exchange is
+      // always worth it for an O(n^2) operator (row set unchanged)
+      e.repartition(s.sparkContext.defaultParallelism).as("a")
         .join(broadcast(e.as("b")), col("a.id") < col("b.id"))
         .select(
           col("a.id").as("id_a"),

@@ -694,6 +694,17 @@ object TfPipeline {
     * (each of which costs two exchanges plus a merge pass), and the shape is
     * skew-free at 100 TB because the key space is (doc, player). */
   def perPlayerAssembled(routedDf: DataFrame, dim: DataFrame): DataFrame = {
+    // A persist-MARKED but unmaterialized input is populated serially before
+    // the assembly job: the union fans out into ~6 root stages that all scan
+    // the cached frame, and cold-cache population under that concurrency
+    // (per-block locking, stage-scheduling interleave) measured ~1.5x the
+    // serial-materialize-then-run sequence at 4M rows (Profile "e2e phases"
+    // vs pipelineOnce). A no-op for unpersisted inputs (Verify/store paths
+    // keep their single-pass shapes), ~0.1 s re-count when already warm.
+    def materializeIfCached(df: DataFrame): Unit =
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) { df.count(); () }
+    materializeIfCached(routedDf)
+    materializeIfCached(dim)
     val players = dim
       .filter(shiftrightunsigned(col("sid"), 32) === 1) // SubjectId::steam_id() is Some
       .withColumn("account", col("sid").bitwiseAND(lit(0xffffffffL)))
