@@ -694,17 +694,22 @@ object TfPipeline {
     * (each of which costs two exchanges plus a merge pass), and the shape is
     * skew-free at 100 TB because the key space is (doc, player). */
   def perPlayerAssembled(routedDf: DataFrame, dim: DataFrame): DataFrame = {
-    // A persist-MARKED but unmaterialized input is populated serially before
-    // the assembly job: the union fans out into ~6 root stages that all scan
-    // the cached frame, and cold-cache population under that concurrency
-    // (per-block locking, stage-scheduling interleave) measured ~1.5x the
-    // serial-materialize-then-run sequence at 4M rows (Profile "e2e phases"
-    // vs pipelineOnce). A no-op for unpersisted inputs (Verify/store paths
-    // keep their single-pass shapes), ~0.1 s re-count when already warm.
-    def materializeIfCached(df: DataFrame): Unit =
-      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) { df.count(); () }
-    materializeIfCached(routedDf)
-    materializeIfCached(dim)
+    // Persist-MARKED but unmaterialized inputs are populated serially before
+    // the assembly job WHEN the routed frame itself is cached: the union
+    // fans out into ~6 root stages that all scan the cached frames, and
+    // cold-cache population of the expensive parse + dim lineages under that
+    // concurrency (per-block locking, stage-scheduling interleave) measured
+    // ~1.4x the serial-materialize-then-run sequence at 4M rows (Profile
+    // "e2e phases" sum ~10.5 s vs lazy pipelineOnce 15.1 s; both-eager
+    // 11.2 s; routed-only 14.4 s). Keyed on ROUTED being cached because the
+    // parquet-store path (routed unpersisted, dim persisted) measured the
+    // OPPOSITE: a serial dim pass there is a full extra store scan the lazy
+    // plan overlapped with the fan-out's own scans (+1.5 s at sf0.1). A
+    // no-op for fully-unpersisted inputs (Verify keeps its one-pass shape).
+    if (routedDf.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      routedDf.count()
+      if (dim.storageLevel != org.apache.spark.storage.StorageLevel.NONE) { dim.count(); () }
+    }
     val players = dim
       .filter(shiftrightunsigned(col("sid"), 32) === 1) // SubjectId::steam_id() is Some
       .withColumn("account", col("sid").bitwiseAND(lit(0xffffffffL)))
