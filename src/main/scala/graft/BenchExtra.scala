@@ -37,10 +37,19 @@ object BenchExtra {
       println(f"$name%-24s min=${ts.min}%7.3f s  raw=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    spark.sparkContext.setJobDescription("benchextra: pipelineOnce sf")
-    timed("tf_pipeline(sf)")(Bench.pipelineOnce(spark, input))
-    spark.sparkContext.setJobDescription("benchextra: aggregatesFromStore sf")
-    timed("tf_pipeline_store(sf)")(Bench.aggregatesFromStore(spark, storeDir))
+    // explicit query-name args: time just those declared queries (noop sink);
+    // no args: the two pipeline legs
+    if (args.nonEmpty) {
+      args.foreach { name =>
+        spark.sparkContext.setJobDescription(s"benchextra: $name")
+        timed(name)(Bench.force(SparkEntry.queries(name)(spark, sfDir)))
+      }
+    } else {
+      spark.sparkContext.setJobDescription("benchextra: pipelineOnce sf")
+      timed("tf_pipeline(sf)")(Bench.pipelineOnce(spark, input))
+      spark.sparkContext.setJobDescription("benchextra: aggregatesFromStore sf")
+      timed("tf_pipeline_store(sf)")(Bench.aggregatesFromStore(spark, storeDir))
+    }
     spark.sparkContext.setJobDescription(null)
     spark.stop()
   }

@@ -461,6 +461,28 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Identity pass-through flagged NONDETERMINISTIC: an optimizer barrier
+    * (guide §4.4 pattern) that stops predicate pushdown from SUBSTITUTING an
+    * expensive producer expression into a pushed-down filter -- e.g. the
+    * inferred `size(arr) > 0` filter for an explode otherwise re-evaluates
+    * the whole shingle+array_distinct chain a second time per row below the
+    * projection that defines it. The value is exactly the child's (true
+    * determinism is unchanged, so task retries are safe); only the
+    * optimizer's freedom to move/duplicate across it is revoked. Use on the
+    * expensive multi-consumer producer column only -- it also blocks
+    * legitimate pushdown of other predicates through the projection. */
+  case class NoPushBarrier(child: Expression) extends UnaryExpression {
+    override lazy val deterministic: Boolean = false
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override def eval(input: InternalRow): Any = child.eval(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = child.genCode(ctx)
+      ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   // ---- Column API --------------------------------------------------------
 
   private def col(e: Expression): Column = org.apache.spark.sql.GraftBridge.column(e)
@@ -490,6 +512,7 @@ object GraftExpressions {
   def steam_text_account(c: Column): Column = col(SteamTextAccount(ex(c)))
   def minhash_multi(c: Column, k: Int): Column = col(MinhashMulti(ex(c), k))
   def minhash_md5_multi(c: Column, k: Int): Column = col(MinhashMd5Multi(ex(c), k))
+  def no_push_barrier(c: Column): Column = col(NoPushBarrier(ex(c)))
   def shingles_native(c: Column, n: Int): Column = col(ShinglesExpr(ex(c), n))
   def simhash60_native(c: Column): Column = col(SimHash60Expr(ex(c)))
   def rhp_buckets(c: Column, weights: Array[Long], tables: Int, bits: Int, dim: Int): Column =

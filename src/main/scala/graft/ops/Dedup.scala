@@ -41,17 +41,26 @@ object Dedup {
     * orientations. Members of a bucket are assumed distinct (true for every
     * caller: ids explode once per bucket key).
     *
-    * `cap` (the maxN the buckets were built with) picks the strategy: small
-    * caps pair in-place from the array (pipelined, zero exchanges); large
-    * caps decompose each bucket into PairChunk-sized chunk pairs, REPARTITION
-    * the chunk-pair rows, and pair within -- per-task work is bounded by
-    * PairChunk^2 instead of cap^2, and the shuffle carries only
-    * O(cap^2/PairChunk) longs per hot bucket (the two chunk slices per row),
-    * so a cap-sized boilerplate bucket at 100 TB spreads across the cluster
-    * instead of pinning one straggler task. */
+    * `cap` (the maxN the buckets were built with) picks the strategy: caps
+    * at or under [[ChunkedPairCap]] pair in-place from the array (pipelined,
+    * zero exchanges). Larger caps dispatch PER BUCKET: only buckets actually
+    * OVER the in-task bound decompose into PairChunk-sized chunk pairs and
+    * REPARTITION (per-task work bounded by PairChunk^2 instead of cap^2, the
+    * shuffle carrying only O(cap^2/PairChunk) longs per hot bucket), while
+    * the typically-dominant small buckets keep the zero-exchange in-task
+    * path. A large cap is a per-task SAFETY BOUND, not a prediction that
+    * buckets are large -- routing every bucket through the chunk exchange
+    * just because the cap allowed big ones shuffled the whole bucket table
+    * (measured: the q_ngram_jaccard bucket table is ~2.4M single-digit
+    * buckets at sf0.1 under a maxDf=10000 cap). The bucket subtree is
+    * referenced by both branches; its exchange is reused at runtime
+    * (ReuseExchange), so the expensive explode + partial aggregate runs
+    * once -- only the final merge above the shuffle runs per branch. */
   private[graft] def bucketPairs(buckets: DataFrame, directed: Boolean, cap: Int = ChunkedPairCap): DataFrame =
     if (cap <= ChunkedPairCap) bucketPairsInTask(buckets, directed)
-    else bucketPairsChunked(buckets, directed)
+    else
+      bucketPairsInTask(buckets.filter(size(col("__ids")) <= ChunkedPairCap), directed)
+        .unionByName(bucketPairsChunked(buckets.filter(size(col("__ids")) > ChunkedPairCap), directed))
 
   private def bucketPairsInTask(buckets: DataFrame, directed: Boolean): DataFrame =
     if (directed)
@@ -251,16 +260,22 @@ object Dedup {
   ): DataFrame = {
     val nBands = k / bandSize
     // docs with no shingles have all-null signatures; they must not all
-    // collide into one giant shared band bucket
-    val nonEmpty = df.filter(size(shingleCol) > 0)
+    // collide into one giant shared band bucket. The shingle column is
+    // projected ONCE behind a pushdown barrier: the emptiness filter and the
+    // signature kernel would otherwise each evaluate the shingle chain per
+    // row (the filter pushes into the scan by expression substitution)
+    val shped = df.select(
+      id.as("id"),
+      graft.expr.GraftExpressions.no_push_barrier(shingleCol).as("__sh"))
+    val nonEmpty = shped.filter(size(col("__sh")) > 0)
     val sigDf =
       if (fast)
         nonEmpty
-          .select(id.as("id"), minhashMultiFast(shingleCol, k).as("__mh"))
+          .select(col("id"), minhashMultiFast(col("__sh"), k).as("__mh"))
           .select(col("id") +: minhashSignatureFast(col("__mh"), k): _*)
       else
         nonEmpty
-          .select(id.as("id"), minhashMd5Fast(shingleCol, k).as("__mh"))
+          .select(col("id"), minhashMd5Fast(col("__sh"), k).as("__mh"))
           .select(col("id") +: minhashSignatureFast(col("__mh"), k): _*)
     def bandKey(b: Int): Column = {
       val parts = (b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i"))
@@ -331,7 +346,13 @@ object Dedup {
     // instead of three times (buckets + one replay per join side). The
     // two-step select keeps array_distinct single-copy (CollapseProject
     // never inlines non-cheap multi-referenced producers).
-    val withAd = df.select(id.as("id"), array_distinct(shingleCol).as("__ad"))
+    // no_push_barrier: the optimizer infers `size(__ad) > 0` for the explode
+    // and would otherwise push it BELOW this projection, re-evaluating the
+    // whole shingle + array_distinct chain a second time per row inside the
+    // pushed filter (plan-verified: one shinglesexpr in the plan instead of two; ~7% at sf0.1)
+    val withAd = df.select(
+      id.as("id"),
+      graft.expr.GraftExpressions.no_push_barrier(array_distinct(shingleCol)).as("__ad"))
     val ex = withAd.select(
       struct(col("id"), size(col("__ad")).cast("long").as("n")).as("id"),
       explode(col("__ad")).as("sh")
