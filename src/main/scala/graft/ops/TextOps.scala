@@ -149,7 +149,10 @@ object TextOps {
         col("doc_id"),
         size(w).cast("long").as("n_words"),
         size(array_distinct(w)).cast("long").as("n_distinct"),
-        Dedup.shingles(w, 2).as("bg")
+        // pushdown barrier: the emptiness filter below would otherwise be
+        // pushed under this projection by expression substitution and
+        // re-evaluate the shingle chain per row (plan had two shinglesexpr)
+        graft.expr.GraftExpressions.no_push_barrier(Dedup.shingles(w, 2)).as("bg")
       )
       .filter(size(col("bg")) > 0)
       // two-step projection: top_bigram_n is referenced twice below, and
