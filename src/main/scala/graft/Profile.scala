@@ -54,6 +54,9 @@ object Profile {
     dimP.count()
     timed("chat(dim persisted)")(force(TfPipeline.chat(routed, dimP)))
     timed("perPlayer(dim persisted)")(force(TfPipeline.perPlayer(routed, dimP)))
+    // assembly without the ordered-output contract: attributes the final
+    // repartition + global sort cost inside the perPlayer figure
+    timed("perPlayerAssembled(no sort)")(force(TfPipeline.perPlayerAssembled(routed, dimP)))
     dimP.unpersist()
     routed.unpersist()
 
